@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.config.DedupConfig
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * LSH band hashing + candidate-pair generation: the scalable equivalent of
+ * the reference's FAISS flat-index search (improved_faiss_detector.py:522-556)
+ * and all-pairs dup mining (similarities/utils/util.py:170-234).
+ *
+ * Plan shape: explode each signature into `bands` (bandIdx, bandVal) keys,
+ * guard oversized buckets (hot-band skew — silence-heavy audio, boilerplate
+ * transcripts), then self-join on the band key with `a < b` to halve the
+ * pair space (the reference's self-pair skip, utils/util.py:213). AQE skew
+ * join handles residual shuffle skew; the bucket cap bounds the quadratic
+ * within-bucket blow-up, and dropped buckets are REPORTED, never silent
+ * (the reference's analog: max_pairs cap with rising score floor,
+ * utils/util.py:213-219).
+ *
+ * bandVal combines the r in-band minima with a position-weighted sum mod a
+ * prime — deterministic and expressible in ANSI SQL so the DuckDB oracle can
+ * reproduce buckets exactly. Combine collisions only ADD candidates, which
+ * the verify stage re-scores exactly, so semantics are unaffected.
+ */
+object LshCandidates {
+  val CombinePrime = 1000003L
+
+  /** (id, sig) -> (id, band, bandVal) */
+  def bandKeys(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val r = rowsPerBand
+    val bandVal = (band: Column) =>
+      aggregate(
+        zip_with(
+          slice(col("sig"), band * r + 1, lit(r)),
+          sequence(lit(1), lit(r)),
+          (h, j) => (h % CombinePrime) * j),
+        lit(0L), (acc, x) => acc + x)
+    sigs.select(
+      col(idCol),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), bandVal(b).as("bandVal")))).as("_bk"))
+      .select(col(idCol), col("_bk.band").as("band"), col("_bk.bandVal").as("bandVal"))
+  }
+
+  def candidatePairs(sigs: DataFrame, idCol: String, cfg: DedupConfig): (DataFrame, DataFrame) =
+    candidatePairs(sigs, idCol, cfg.bands, cfg.rowsPerBand, cfg.maxBucketSize)
+
+  /**
+   * Candidate pairs (a < b) from shared band buckets.
+   * @return (candidates DF with columns a, b; droppedBuckets DF with columns
+   *         band, bandVal, bucketSize for buckets over maxBucketSize)
+   */
+  def candidatePairs(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+                     maxBucketSize: Int): (DataFrame, DataFrame) = {
+    // bucket sizes via groupBy (map-side partial agg) + same-key join: the
+    // join reuses the band-key partitioning — cheaper than a window, which
+    // would add a full sort of all band keys.
+    val keys = bandKeys(sigs, idCol, bands, rowsPerBand)
+    val sizes = keys.groupBy("band", "bandVal")
+      .agg(count(lit(1)).as("bucketSize"))
+    val dropped = sizes.filter(col("bucketSize") > maxBucketSize)
+    val kept = keys.join(sizes.filter(col("bucketSize") <= maxBucketSize),
+        Seq("band", "bandVal"))
+      .select(col(idCol), col("band"), col("bandVal"))
+    val l = kept.select(col(idCol).as("a"), col("band"), col("bandVal"))
+    val rgt = kept.select(col(idCol).as("b"), col("band"), col("bandVal"))
+    val pairs = l.join(rgt, Seq("band", "bandVal"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .dropDuplicates("a", "b")
+    (pairs, dropped)
+  }
+}
