@@ -1,0 +1,153 @@
+package graft
+
+import graft.config.DedupConfig
+import graft.functions.{AudioPcm, SimHash, TextShingles}
+import graft.operators._
+import graft.pipeline.DedupPipeline
+import graft.sources.{ClipCorpus, CorpusConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage profiler: times each pipeline stage independently.
+  * Usage: runMain graft.Profile [nClips] [cores] */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 4000L
+    val cores = if (args.length > 1) args(1).toInt else 32
+    val spark = SparkUtil.session(cores, "graft-profile")
+    val cfg = DedupConfig.default
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val clips = ClipCorpus.clips(spark, CorpusConfig(seed = 42L, n = n)).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("synth+cache")(clips.count())
+    time("synth-only-recount")(clips.count())
+
+    if (args.length > 2 && args(2) == "sigcols") {
+      import graft.functions.{AudioPcm, SimHash, TextShingles}
+      import graft.operators.MinHasher
+      val tsh = TextShingles.hashShingles(
+        TextShingles.charShingles(lower(col("transcript")), cfg.charGramK), portable = false)
+      val twsh = TextShingles.hashShingles(
+        TextShingles.wordShingles(col("transcript"), cfg.textLshWordNgram), portable = false)
+      val audio = AudioPcm.audioShingles(spark, col("bytes"), col("sr_hz"),
+        cfg.frameMs, cfg.hopMs, cfg.framesPerShingle, cfg.energyLevels)
+    val tSigUdf = MinHasher.signatureUdf(cfg.numPerms, cfg.seed)
+      def tcount(name: String, c: org.apache.spark.sql.Column): Unit =
+        time(name)(clips.select(c.as("x")).agg(sum(hash(col("x")).cast("long"))).collect())
+      tcount("base-count", lit(1))
+      tcount("sha2", sha2(col("bytes"), 256))
+      tcount("tshingles", tsh)
+      tcount("tshingles-size", size(tsh))
+      tcount("twshingles", twsh)
+      tcount("audio-shingles", audio)
+      tcount("simhash", SimHash.simhash(spark, col("transcript")))
+      tcount("minhash(tsh)", tSigUdf(tsh))
+      tcount("minhash(audio)", tSigUdf(audio))
+      time("all-sigs")(DedupPipeline.signatures(spark, clips, cfg)
+        .agg(sum(hash(col("tsig"), col("asig"), col("tshingles"), col("sha"),
+          col("simhash")).cast("long"))).collect())
+      spark.stop()
+      return
+    }
+
+    if (args.length > 2 && args(2) == "buckets") {
+      val sigs = DedupPipeline.signatures(spark, clips, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigs.count()
+      for ((name, sigCol, shCol, bands, rows) <- Seq(
+        ("text", "tsig", "tshingles", cfg.bands, cfg.rowsPerBand),
+        ("audio", "asig", "ashingles", cfg.audioBands, cfg.audioRowsPerBand))) {
+        val s = sigs.filter(col(sigCol).isNotNull).select(col("clip_id"), col(sigCol).as("sig"))
+        val keys = LshCandidates.bandKeys(s, "clip_id", bands, rows)
+        val sizes = keys.groupBy("band", "bandVal").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+        val top = sizes.orderBy(col("n").desc).limit(10).collect()
+        val pairMass = sizes.agg(sum((col("n") * (col("n") - 1) / 2).cast("long"))).first().getLong(0)
+        println(s"[profile] $name buckets>1=${sizes.count()} pairMass=$pairMass top=" +
+          top.map(r => s"${r.getLong(2)}").mkString(","))
+        // sample candidate pairs: jaccard + planted-kind mix
+        val (cands, _) = LshCandidates.candidatePairs(s, "clip_id", bands, rows, cfg.maxBucketSize)
+        val jac = udf((x: Array[Long], y: Array[Long]) => PairVerifier.jaccardLongJvm(x, y))
+        val sample = cands.limit(4000)
+          .join(sigs.select(col("clip_id").as("a"), col(shCol).as("_sa")), "a")
+          .join(sigs.select(col("clip_id").as("b"), col(shCol).as("_sb")), "b")
+          .select(col("a"), col("b"), jac(col("_sa"), col("_sb")).as("j"))
+          .collect()
+        val hist = sample.groupBy(r => math.min(9, (r.getDouble(2) * 10).toInt))
+          .view.mapValues(_.length).toMap
+        println(s"[profile] $name cand-jaccard hist(decile->n): " +
+          (0 to 9).map(d => s"$d:${hist.getOrElse(d, 0)}").mkString(" "))
+        def kind(id: String): String = ClipCorpus.kindOf(42L, id.stripPrefix("clip_").toLong)
+        val kinds = sample.take(2000).groupBy(r => (kind(r.getString(0)), kind(r.getString(1))))
+          .view.mapValues(_.length).toSeq.sortBy(-_._2).take(8)
+        println(s"[profile] $name cand kinds: $kinds")
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.length > 2 && args(2) == "full") {
+      // job-level wall times + task-time sums: where serial/driver time hides
+      val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Int)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(0L)
+          stageInfo.put(si.stageId,
+            (si.name.split("\n")(0).take(80), si.taskMetrics.executorRunTime, wall, si.numTasks))
+        }
+      })
+      time("full-run-1")(DedupPipeline.run(spark, clips, cfg).clusters.count())
+      stageInfo.clear()
+      time("full-run-2")(DedupPipeline.run(spark, clips, cfg).clusters.count())
+      import scala.jdk.CollectionConverters._
+      val stages = stageInfo.asScala.toSeq
+      println(f"[profile] run-2 stages=${stages.size} sum-task-time=${stages.map(_._2._2).sum / 1000.0}%.1f s sum-stage-wall=${stages.map(_._2._3).sum / 1000.0}%.1f s")
+      stages.sortBy(-_._2._3).take(20).foreach { case (id, (name, rt, wall, nt)) =>
+        println(f"[profile]   stage $id%4d wall ${wall / 1000.0}%7.2f s  task-sum ${rt / 1000.0}%8.1f s  $nt%4d tasks  $name")
+      }
+      spark.stop()
+      return
+    }
+
+    val sigs = DedupPipeline.signatures(spark, clips, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("signatures")(sigs.count())
+
+    val tSigOnly = sigs.filter(col("tsig").isNotNull).select(col("clip_id"), col("tsig").as("sig"))
+    val (tCands, _) = LshCandidates.candidatePairs(tSigOnly, "clip_id", cfg)
+    val tc = time("text-candidates")(tCands.persist().count())
+    val textPairs = PairVerifier.verify(tCands, sigs, "clip_id", "tshingles",
+      cfg.textJaccardThreshold, "text_minhash")
+    time("text-verify")(textPairs.count())
+
+    val aSigOnly = sigs.filter(col("asig").isNotNull).select(col("clip_id"), col("asig").as("sig"))
+    val (aCands, _) = LshCandidates.candidatePairs(
+      aSigOnly, "clip_id", cfg.audioBands, cfg.audioRowsPerBand, cfg.maxBucketSize)
+    val ac = time("audio-candidates")(aCands.persist().count())
+    val audioScreened = PairVerifier.verify(aCands, sigs, "clip_id", "ashingles",
+      cfg.audioJaccardThreshold, "audio_minhash")
+    val audioPairs = PairVerifier.pcmConfirm(audioScreened, clips, "clip_id", cfg.pcmCorrMin)
+    time("audio-verify+pcm")(audioPairs.count())
+
+    val containPairs = ContainmentJoin.pairs(
+      sigs.select(col("clip_id"), col("transcript")), "clip_id", "transcript", cfg)
+    time("containment")(containPairs.count())
+
+    val dupPairs = textPairs.select("a", "b")
+      .union(audioPairs.select("a", "b")).union(containPairs.select("a", "b"))
+      .dropDuplicates("a", "b").persist()
+    time("dup-pairs-union")(dupPairs.count())
+    time("cc")(ConnectedComponents.clusters(dupPairs, cfg.minClusterSize).count())
+    println(s"[profile] text cands=$tc audio cands=$ac")
+    time("full-run-again")(DedupPipeline.run(spark, clips, cfg).clusters.count())
+    spark.stop()
+  }
+}

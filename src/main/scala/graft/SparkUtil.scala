@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared local SparkSession factory for mains (Bench/Verify/Profile).
+  *
+  * spark.local.dir points at tmpfs (/dev/shm) when available: local-mode
+  * shuffle and spill files otherwise serialize on a single disk, which
+  * flat-lines multi-core scaling (observed: executor threads parked in
+  * FileDispatcherImpl.write0 while CPUs idle). On a real cluster the
+  * equivalent is NVMe/ramdisk scratch per executor.
+  */
+object SparkUtil {
+  def localDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "spark-graft-local")
+      d.mkdirs()
+      d.getAbsolutePath
+    } else System.getProperty("java.io.tmpdir")
+  }
+
+  def session(cores: Int, appName: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", localDir)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

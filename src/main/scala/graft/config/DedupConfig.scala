@@ -23,15 +23,25 @@ final case class DedupConfig(
     hopMs: Int = 10,
     framesPerShingle: Int = 6,
     energyLevels: Int = 16,
+    // text LSH runs on WORD-BIGRAM shingles (candidate generation only): the
+    // char-gram background Jaccard between unrelated same-domain transcripts
+    // is ~0.1, which leaks O(n^2 * 3e-3) false candidates through b=32/r=4;
+    // word bigrams push background to ~0.01 (collision ~1e-8/band) while
+    // near-dup transcripts keep J >= ~0.7 (collision ~1 across 32 bands).
+    textLshWordNgram: Int = 2,
     // verify thresholds (per-modality, the analog of the reference's fusion
-    // weights — improved_faiss_detector.py:238-250)
+    // weights — improved_faiss_detector.py:238-250); verify metric = exact
+    // CHAR-gram jaccard (finer-grained than the LSH's word bigrams)
     textJaccardThreshold: Double = 0.6,
-    // audio LSH uses wider bands (r=2) over the same perms: quantization-edge
-    // flips in energy codes push worst-case true-pair jaccard toward ~0.45,
-    // where r=2/b=64 still collides with prob ~1; the exact-jaccard floor plus
-    // the PCM-correlation confirm restore precision.
-    audioBands: Int = 64,
+    // audio LSH: r=3/b=42 over the 4-offset-stream shingles (worst-case
+    // true-pair jaccard floor 0.6 -> band collision >= 0.9999; background
+    // J ~ 0.005 -> ~5e-6 per pair).
+    audioBands: Int = 42,
+    audioRowsPerBand: Int = 3,
     audioJaccardThreshold: Double = 0.35,
+    // signature-estimate prefilter floor: >= 3.5 sigma below the 0.35 verify
+    // threshold at P=128 (sigma ~ sqrt(.35*.65/128) ~ 0.042)
+    audioEstimateMin: Double = 0.2,
     pcmCorrMin: Double = 0.95,
     simHashBits: Int = 60, // 60 portable bits (15 hex chars of md5)
     simHashScreenThreshold: Double = 0.5, // tests/test_literalsim.py:76 pins > 0.5
@@ -43,12 +53,16 @@ final case class DedupConfig(
     // clustering
     minClusterSize: Int = 2,
     // determinism
-    seed: Long = 42L
+    seed: Long = 42L,
+    // when false, skips the driver-side metric collections (each one is a
+    // serial Spark action; the bench measures the data path) — production
+    // runs keep them on per the north rule's lineage+metrics requirement
+    collectMetrics: Boolean = true
 ) {
   require(numPerms % bands == 0, "bands must divide numPerms")
-  require(numPerms % audioBands == 0, "audioBands must divide numPerms")
+  require(audioBands * audioRowsPerBand <= numPerms,
+    "audio bands*rows must fit in numPerms")
   def rowsPerBand: Int = numPerms / bands
-  def audioRowsPerBand: Int = numPerms / audioBands
 }
 
 object DedupConfig {

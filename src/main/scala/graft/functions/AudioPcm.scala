@@ -78,11 +78,41 @@ object AudioPcm {
     out
   }
 
+  /** Per-frame zero-crossing counts (frame/hop in samples) — a cheap spectral
+    * fingerprint: a sine at f Hz crosses zero ~2f·frame/sr times per frame,
+    * so the count separates clips by dominant frequency content where the
+    * energy envelope alone cannot (noise-robust: a 35 dB SNR perturbation
+    * moves crossings only near zero-amplitude samples). */
+  def frameZcr(samples: Array[Float], frame: Int, hop: Int): Array[Int] = {
+    if (samples.length < frame) return Array.empty
+    val nFrames = (samples.length - frame) / hop + 1
+    val out = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      var i = f * hop + 1
+      val end = f * hop + frame
+      while (i < end) {
+        if ((samples(i) >= 0) != (samples(i - 1) >= 0)) c += 1
+        i += 1
+      }
+      out(f) = c
+      f += 1
+    }
+    out
+  }
+
+  /** Quantize zero-crossing counts on a log scale: code = floor(mult *
+    * log2(1 + count) + offset). See shinglesJvm for the offset scheme. */
+  def zcrCodes(zcr: Array[Int], mult: Double, offset: Double): Array[Int] =
+    zcr.map(c => math.floor(mult * (math.log(1.0 + c) / math.log(2.0)) + offset).toInt)
+
   /** Quantize energies to `levels` log-scale codes relative to the clip max.
     * `mult` sets bucket width: larger = more discriminative, smaller = more
     * robust to additive noise (a flip needs the value to cross a bucket
     * edge). */
-  def energyCodes(rms: Array[Double], levels: Int, mult: Double): Array[Int] = {
+  def energyCodes(rms: Array[Double], levels: Int, mult: Double,
+                  offset: Double = 0.0): Array[Int] = {
     if (rms.isEmpty) return Array.empty
     val maxR = rms.max
     if (maxR <= 0) return rms.map(_ => 0)
@@ -90,7 +120,7 @@ object AudioPcm {
       val rel = r / maxR
       if (rel <= 0) 0
       else math.max(0, math.min(levels - 1,
-        (levels - 1 + math.floor(mult * (math.log(rel) / math.log(2.0)))).toInt))
+        (levels - 1 + math.floor(mult * (math.log(rel) / math.log(2.0)) + offset)).toInt))
     }
   }
 
@@ -105,27 +135,56 @@ object AudioPcm {
     val frame = math.max(1, srHz * frameMs / 1000)
     val hop = math.max(1, srHz * hopMs / 1000)
     val rms = frameRms(samples, frame, hop)
-    val out = new scala.collection.mutable.HashSet[Long]()
-    // two quantization resolutions: a noise-flip in one stream's codes rarely
-    // coincides with a flip in the other, so the union keeps pair Jaccard
-    // high at 35 dB SNR while the positional mix keeps cross-clip collisions
-    // negligible.
+    val zcr = frameZcr(samples, frame, hop)
+    // primitive array + sort-dedup, NOT a HashSet[Long]: boxing every hash
+    // across 32 executor threads makes the signature stage GC-bound.
+    val nWin = math.max(1, rms.length - framesPerShingle + 1)
+    val buf = new Array[Long](4 * nWin)
+    var nOut = 0
+    // Four quantization streams with INTERLEAVED fractional offsets (0, 1/4,
+    // 1/2, 3/4) at a shared multiplier. A noise-induced drift in a clip-level
+    // statistic (max energy, steady-tone ZCR) shifts ALL frames of a stream
+    // by the same small amount, which can flip every code in that stream at
+    // once — but interleaved offsets mean a small drift crosses at most ONE
+    // stream's bucket boundary, so >= 3 of 4 streams always survive intact:
+    // worst-case true-pair Jaccard floor is 3/5, typical ~1 — sized so the
+    // r=3 LSH bands collide with prob >= 0.9999 at the floor. Each frame
+    // code combines the energy envelope with a zero-crossing (spectral) code
+    // so clips with similar envelopes but different frequency content do not
+    // collide; the positional mix keeps chance collisions negligible.
+    val EMult = 2.5
+    val ZMult = 2.0
     var stream = 0
-    Seq(2.5, 1.25).foreach { mult =>
-      val codes = energyCodes(rms, levels, mult)
+    Seq(0.0, 0.25, 0.5, 0.75).foreach { off =>
+      val ec = energyCodes(rms, levels, EMult, off)
+      val zc = zcrCodes(zcr, ZMult, off)
+      val codes = Array.tabulate(ec.length)(f => ec(f) * 256 + zc(f))
       if (codes.nonEmpty) {
-        if (codes.length < framesPerShingle) out += mixCodes(codes, 0, codes.length, stream)
+        if (codes.length < framesPerShingle) { buf(nOut) = mixCodes(codes, 0, codes.length, stream); nOut += 1 }
         else {
           var f = 0
           while (f + framesPerShingle <= codes.length) {
-            out += mixCodes(codes, f, framesPerShingle, stream)
+            buf(nOut) = mixCodes(codes, f, framesPerShingle, stream); nOut += 1
             f += 1
           }
         }
       }
       stream += 1
     }
-    out.toArray.sorted
+    sortedDistinct(buf, nOut)
+  }
+
+  /** Sort + in-place dedup of buf[0, n) — allocation-light distinct. */
+  def sortedDistinct(buf: Array[Long], n: Int): Array[Long] = {
+    if (n == 0) return Array.empty
+    java.util.Arrays.sort(buf, 0, n)
+    var w = 1
+    var i = 1
+    while (i < n) {
+      if (buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(buf, w)
   }
 
   /** Positional shingle mix: near-dup audio (additive noise) is
@@ -147,9 +206,12 @@ object AudioPcm {
 
   /** Audio shingle hashes folded into [0, Hashing.P) for the MinHash stage. */
   def shingles31Jvm(bytes: Array[Byte], srHz: Int, frameMs: Int, hopMs: Int,
-                    framesPerShingle: Int, levels: Int): Array[Long] =
-    shinglesJvm(bytes, srHz, frameMs, hopMs, framesPerShingle, levels)
-      .map(h => java.lang.Math.floorMod(h, Hashing.P)).distinct.sorted
+                    framesPerShingle: Int, levels: Int): Array[Long] = {
+    val hs = shinglesJvm(bytes, srHz, frameMs, hopMs, framesPerShingle, levels)
+    var i = 0
+    while (i < hs.length) { hs(i) = java.lang.Math.floorMod(hs(i), Hashing.P); i += 1 }
+    sortedDistinct(hs, hs.length)
+  }
 
   /** UDF: (bytes, sr_hz) -> array<long> shingle hashes in [0, P). */
   def audioShingles(spark: SparkSession, bytes: Column, srHz: Column,

@@ -45,10 +45,11 @@ object TextShingles {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** Hash a string-shingle array to distinct 31-bit hashes in [0, P). */
+  /** Hash a string-shingle array to distinct SORTED 31-bit hashes in [0, P)
+    * (sorted once per row so the pair-verify merge kernel never re-sorts). */
   def hashShingles(shingles: Column, portable: Boolean): Column = {
     val h: Column => Column = if (portable) Hashing.md5Hash31 else Hashing.fastHash31
-    array_distinct(transform(shingles, h))
+    sort_array(array_distinct(transform(shingles, h)))
   }
 
   /** DuckDB SQL: one row per distinct char k-gram of `textExpr` in table `t`.

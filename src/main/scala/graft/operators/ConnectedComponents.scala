@@ -29,32 +29,47 @@ object ConnectedComponents {
    * @return (node, component) where component = min node id reachable
    */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-    val nodes = sym.select(col("src").as("node")).distinct()
-    var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Labels are monotonically non-increasing, so the label assignment is at
+    // a fixpoint iff an order-insensitive signature of (node, label) pairs is
+    // unchanged. The signature aggregation doubles as the action that
+    // materializes each round's persisted labels: ONE driver round-trip per
+    // round (serial driver time is what Amdahl charges against scaling
+    // efficiency at high core counts).
+    def signature(df: DataFrame): Long = {
+      val r = df.agg(expr("bit_xor(xxhash64(concat_ws('|', node, label)))")).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty edge set
+    }
+    // LAZY localCheckpoint: the signature aggregation is the action that
+    // materializes it, so each round costs ONE driver action AND the logical
+    // plan is truncated — labels appear twice per round (spread + halving),
+    // so without checkpointing the plan doubles every iteration and the
+    // optimizer spins for minutes after ~10 rounds.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 
+    var labels = pin(sym.select(col("src").as("node"), col("src").as("label")).distinct())
+    var prevSig = signature(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // spread: neighbor-label minimum
-      val nbr = sym.join(labels, sym("src") === labels("node"))
+      val nbr = sym.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
       val spread = labels.select("node", "label").union(nbr)
         .groupBy("node").agg(min("label").as("label"))
       // shortcut: label := label(label)  (path halving)
       val asLabel = spread.select(col("node").as("lnode"), col("label").as("llabel"))
-      val halved = spread.join(asLabel, spread("label") === asLabel("lnode"), "left")
-        .select(col("node"), coalesce(col("llabel"), col("label")).as("label"))
-        .localCheckpoint(eager = true)
-      val changed = halved.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      converged = changed == 0L
+      val halved = pin(spread.join(asLabel, spread("label") === asLabel("lnode"), "left")
+        .select(col("node"), coalesce(col("llabel"), col("label")).as("label")))
+      val sig = signature(halved)
+      converged = sig == prevSig
+      prevSig = sig
       labels = halved
       iter += 1
     }
+    sym.unpersist()
     labels.select(col("node"), col("label").as("component"))
   }
 

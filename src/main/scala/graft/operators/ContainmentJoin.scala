@@ -52,6 +52,67 @@ object ContainmentJoin {
       .select(col(idCol), col("fp")).distinct()
   }
 
+  /**
+   * Row-local winnowing fingerprints — the fast path: identical semantics to
+   * `fingerprints` (same gram hash when portable=false is NOT guaranteed —
+   * this path uses a seeded 64-bit polynomial gram hash instead of
+   * xxhash64/md5), computed in one pass with a monotonic deque (sliding
+   * window minimum in O(n)), no explode, no window shuffle. Selection is by
+   * value within each window, so the winnowing guarantee (any shared run of
+   * >= minRun chars yields a shared fingerprint) holds identically.
+   */
+  def fingerprintsJvm(text: String, minRun: Int): Array[Long] = {
+    val k = GramK
+    val w = minRun - k + 1
+    if (text == null || text.length < minRun) return Array.empty
+    val n = text.length - k + 1 // number of grams
+    // rolling 64-bit polynomial hash of each k-gram
+    val B = 0x100000001b3L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val gh = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    gh(0) = mix64(h)
+    i = 1
+    while (i < n) {
+      h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
+      gh(i) = mix64(h)
+      i += 1
+    }
+    // sliding-window minimum over windows of w grams (monotonic deque of
+    // idx); primitive buffer + sort-dedup, not a boxing HashSet
+    val nWin = n - w + 1
+    val buf = new Array[Long](math.max(0, nWin))
+    var nOut = 0
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < n) {
+      while (tail > head && gh(deque(tail - 1)) >= gh(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) { buf(nOut) = gh(deque(head)); nOut += 1 }
+      i += 1
+    }
+    graft.functions.AudioPcm.sortedDistinct(buf, nOut)
+  }
+
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** (id, fp) fingerprints via the row-local fast path. */
+  def fingerprintsFast(df: DataFrame, idCol: String, textCol: String, minRun: Int): DataFrame = {
+    val f = udf((t: String) => fingerprintsJvm(t, minRun))
+    df.select(col(idCol), explode(f(col(textCol))).as("fp"))
+  }
+
   /** Row-local longest common substring length (rolling-array DP). */
   def longestCommonRunJvm(a: String, b: String): Int = {
     if (a == null || b == null || a.isEmpty || b.isEmpty) return 0
@@ -73,21 +134,67 @@ object ContainmentJoin {
     best
   }
 
-  /** Verified containment pairs (a < b, shared run >= cfg.containmentMinRun). */
+  /** All distinct k-gram hashes of `text`, sorted (same rolling hash as the
+    * fingerprints) — the cheap necessary condition for a shared run: a run of
+    * >= minRun chars implies >= minRun-k+1 consecutive shared grams. */
+  def gramHashesJvm(text: String): Array[Long] = {
+    val k = GramK
+    if (text == null || text.length < k) return Array.empty
+    val n = text.length - k + 1
+    val B = 0x100000001b3L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val buf = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    buf(0) = mix64(h)
+    i = 1
+    while (i < n) {
+      h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
+      buf(i) = mix64(h)
+      i += 1
+    }
+    graft.functions.AudioPcm.sortedDistinct(buf, n)
+  }
+
+  /** Count of shared values between two sorted long arrays (merge pass). */
+  def sharedSortedJvm(a: Array[Long], b: Array[Long]): Int = {
+    if (a == null || b == null) return 0
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Verified containment pairs (a < b, shared run >= cfg.containmentMinRun).
+    *
+    * Three-tier verify: shared-fingerprint candidates -> shared-gram-count
+    * prefilter (a true >= minRun run REQUIRES >= w shared distinct grams;
+    * near-miss boilerplate prefixes shorter than minRun fail here without
+    * ever running the DP) -> exact longest-common-run DP on survivors only.
+    */
   def pairs(df: DataFrame, idCol: String, textCol: String, cfg: DedupConfig): DataFrame = {
-    val spark = df.sparkSession
-    val fps = fingerprints(df, idCol, textCol, cfg.containmentMinRun)
+    val w = cfg.containmentMinRun - GramK + 1
+    val fps = fingerprintsFast(df, idCol, textCol, cfg.containmentMinRun)
     val sizes = fps.groupBy("fp").agg(count(lit(1)).as("n"))
     val kept = fps.join(sizes.filter(col("n") <= cfg.maxBucketSize), "fp")
     val cands = kept.select(col("fp"), col(idCol).as("a"))
       .join(kept.select(col("fp"), col(idCol).as("b")), "fp")
       .filter(col("a") < col("b"))
       .select("a", "b").dropDuplicates("a", "b")
-    val txt = df.select(col(idCol), col(textCol))
+    val gramsUdf = udf((t: String) => gramHashesJvm(t))
+    val sharedUdf = udf((x: Array[Long], y: Array[Long]) => sharedSortedJvm(x, y))
     val lcrUdf = udf((x: String, y: String) => longestCommonRunJvm(x, y))
+    val txt = df.select(col(idCol), col(textCol), gramsUdf(col(textCol)).as("_g"))
     cands
-      .join(txt.select(col(idCol).as("a"), col(textCol).as("_ta")), "a")
-      .join(txt.select(col(idCol).as("b"), col(textCol).as("_tb")), "b")
+      .join(txt.select(col(idCol).as("a"), col(textCol).as("_ta"), col("_g").as("_ga")), "a")
+      .join(txt.select(col(idCol).as("b"), col(textCol).as("_tb"), col("_g").as("_gb")), "b")
+      .filter(sharedUdf(col("_ga"), col("_gb")) >= w)
       .filter(lcrUdf(col("_ta"), col("_tb")) >= cfg.containmentMinRun)
       .select("a", "b")
   }

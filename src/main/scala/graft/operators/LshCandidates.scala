@@ -18,24 +18,19 @@ import org.apache.spark.sql.functions._
  * (the reference's analog: max_pairs cap with rising score floor,
  * utils/util.py:213-219).
  *
- * bandVal combines the r in-band minima with a position-weighted sum mod a
- * prime — deterministic and expressible in ANSI SQL so the DuckDB oracle can
- * reproduce buckets exactly. Combine collisions only ADD candidates, which
- * the verify stage re-scores exactly, so semantics are unaffected.
+ * bandVal is the EXACT tuple of in-band minima, rendered as a comma-joined
+ * string: collision-free (a lossy numeric combine was measured to produce
+ * ~2000 birthday-collision buckets per band at 20k rows, multiplying the
+ * verify stage's shuffle by ~50x) and reproducible in ANSI SQL
+ * (string_agg ORDER BY perm) so the DuckDB oracle rebuilds buckets exactly.
  */
 object LshCandidates {
-  val CombinePrime = 1000003L
 
   /** (id, sig) -> (id, band, bandVal) */
   def bandKeys(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val r = rowsPerBand
     val bandVal = (band: Column) =>
-      aggregate(
-        zip_with(
-          slice(col("sig"), band * r + 1, lit(r)),
-          sequence(lit(1), lit(r)),
-          (h, j) => (h % CombinePrime) * j),
-        lit(0L), (acc, x) => acc + x)
+      concat_ws(",", transform(slice(col("sig"), band * r + 1, lit(r)), _.cast("string")))
     sigs.select(
       col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)),

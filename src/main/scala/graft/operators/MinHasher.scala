@@ -43,6 +43,36 @@ object MinHasher {
       .select(col(idCol), array((0 until numPerms).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
+  /**
+   * Row-local signature column: the fast path for the clip pipeline. A
+   * MinHash signature is a pure function of the row's shingle set, so once
+   * the shingles are materialized per row the explode+groupBy formulation
+   * above shuffles the whole exploded corpus for nothing — this UDF computes
+   * the same signature in one pass with ZERO shuffle. The declarative form
+   * is kept for the DuckDB-oracle queries (portable, SQL-reproducible);
+   * MinHashSpec pins the two paths equal.
+   */
+  def signatureUdf(numPerms: Int, seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val coeffs = Hashing.permCoeffs(numPerms, seed)
+    udf((hashes: Array[Long]) =>
+      if (hashes == null || hashes.isEmpty) null
+      else {
+        val sig = Array.fill(numPerms)(Long.MaxValue)
+        var j = 0
+        while (j < hashes.length) {
+          val h = hashes(j)
+          var i = 0
+          while (i < numPerms) {
+            val v = java.lang.Math.floorMod(coeffs(i)._1 * h + coeffs(i)._2, Hashing.P)
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+          j += 1
+        }
+        sig
+      })
+  }
+
   /** JVM-side signature of a shingle-hash set — brute-force oracle / tests. */
   def signatureJvm(hashes: Iterable[Long], numPerms: Int, seed: Long): Array[Long] = {
     val coeffs = Hashing.permCoeffs(numPerms, seed)

@@ -26,15 +26,64 @@ object PairVerifier {
    * @param method     provenance tag written into the result
    * @return (a, b, score, method) verified dup pairs, score = exact jaccard
    */
+  /** Exact Jaccard of two long arrays via sorted-merge — one O(n) primitive
+    * pass. `array_intersect`+`array_union` cost ~tens of ms per 1k-element
+    * pair (boxed hash sets, built twice); at 10^5..10^9 candidate pairs the
+    * verify stage lives or dies on this kernel. Inputs are sorted by the
+    * shingle producers; sorts defensively if not (cheap vs the join). */
+  def jaccardLongJvm(a: Array[Long], b: Array[Long]): Double = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return 0.0
+    def ensureSorted(x: Array[Long]): Array[Long] = {
+      var i = 1
+      while (i < x.length && x(i - 1) <= x(i)) i += 1
+      if (i == x.length) x
+      else { val c = x.clone(); java.util.Arrays.sort(c); c }
+    }
+    val sa = ensureSorted(a); val sb = ensureSorted(b)
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (sa.length + sb.length - inter)
+  }
+
+  /** MinHash agreement fraction of two equal-length signatures — the
+    * unbiased Jaccard estimate, one primitive pass. */
+  def estimateJvm(a: Array[Long], b: Array[Long]): Double = {
+    if (a == null || b == null || a.length == 0 || a.length != b.length) return 0.0
+    var i = 0; var eq = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /**
+   * Signature-estimate prefilter: re-score candidate pairs with the MinHash
+   * ESTIMATE (joins the P-long signature, ~8P bytes/row) and keep pairs with
+   * estimate >= estMin, so the exact-Jaccard stage only shuffles the much
+   * larger shingle arrays for plausible pairs. estMin should sit >= 3 sigma
+   * (sigma ~ sqrt(t(1-t)/P)) below the verify threshold t so no true pair is
+   * lost.
+   */
+  def estimateScreen(pairs: DataFrame, features: DataFrame, idCol: String,
+                     sigCol: String, estMin: Double): DataFrame = {
+    val est = udf((x: Array[Long], y: Array[Long]) => estimateJvm(x, y))
+    val fa = features.select(col(idCol).as("a"), col(sigCol).as("_ea"))
+    val fb = features.select(col(idCol).as("b"), col(sigCol).as("_eb"))
+    pairs.join(fa, "a").join(fb, "b")
+      .filter(est(col("_ea"), col("_eb")) >= estMin)
+      .select(pairs.columns.map(col): _*)
+  }
+
   def verify(pairs: DataFrame, features: DataFrame, idCol: String,
              shinglesCol: String, jaccardThreshold: Double,
              method: String): DataFrame = {
+    val jac = udf((x: Array[Long], y: Array[Long]) => jaccardLongJvm(x, y))
     val fa = features.select(col(idCol).as("a"), col(shinglesCol).as("_sa"))
     val fb = features.select(col(idCol).as("b"), col(shinglesCol).as("_sb"))
     pairs.join(fa, "a").join(fb, "b")
-      .withColumn("score",
-        size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
-          size(array_union(col("_sa"), col("_sb"))))
+      .withColumn("score", jac(col("_sa"), col("_sb")))
       .filter(col("score") >= jaccardThreshold)
       .select(col("a"), col("b"), col("score"), lit(method).as("method"))
   }
@@ -76,8 +125,15 @@ object PairVerifier {
   def pcmConfirm(pairs: DataFrame, clips: DataFrame, idCol: String,
                  minCorr: Double): DataFrame = {
     val corrUdf = udf((x: Array[Byte], y: Array[Byte]) => pcmCorrJvm(x, y))
-    val ca = clips.select(col(idCol).as("a"), col("bytes").as("_ba"), col("sr_hz").as("_sra"))
-    val cb = clips.select(col(idCol).as("b"), col("bytes").as("_bb"), col("sr_hz").as("_srb"))
+    // Shrink the byte-heavy clip table to only the ids that appear in a
+    // candidate pair BEFORE the pair joins (broadcast semi-join: the full
+    // clip table is never shuffled — at corpus scale the pair set is tiny
+    // relative to the corpus, so this is the difference between shuffling
+    // O(|pairs|) bytes and O(|corpus|) bytes, twice).
+    val ids = pairs.select(col("a").as(idCol)).union(pairs.select(col("b").as(idCol))).distinct()
+    val needed = clips.join(broadcast(ids), idCol)
+    val ca = needed.select(col(idCol).as("a"), col("bytes").as("_ba"), col("sr_hz").as("_sra"))
+    val cb = needed.select(col(idCol).as("b"), col("bytes").as("_bb"), col("sr_hz").as("_srb"))
     pairs.join(ca, "a").join(cb, "b")
       .filter(col("_sra") === col("_srb"))
       .filter(least(length(col("_ba")), length(col("_bb"))).cast("double") /

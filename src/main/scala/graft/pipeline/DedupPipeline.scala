@@ -32,33 +32,48 @@ final case class PipelineResult(
  */
 object DedupPipeline {
 
-  /** Per-clip feature/signature extraction — a single pass, no shuffle except
-    * the MinHash minima aggregations. */
+  /** Per-clip feature/signature extraction — a SINGLE projection pass with
+    * zero shuffle: shingling is Catalyst built-ins, and the MinHash
+    * signatures use the row-local fast path (MinHasher.signatureUdf — a
+    * signature is a pure function of the row's shingle set; the
+    * explode+groupBy form would shuffle the exploded corpus for nothing.
+    * MinHashSpec pins the two paths equal). */
   def signatures(spark: SparkSession, clips: DataFrame, cfg: DedupConfig): DataFrame = {
     val tsh = TextShingles.hashShingles(
       TextShingles.charShingles(lower(col("transcript")), cfg.charGramK), portable = false)
-    val base = clips.select(
+    // LSH signature runs on word n-grams (low background J — see DedupConfig);
+    // char-gram shingles stay for the exact verify metric.
+    val twsh = TextShingles.hashShingles(
+      TextShingles.wordShingles(col("transcript"), cfg.textLshWordNgram), portable = false)
+    val tSigUdf = MinHasher.signatureUdf(cfg.numPerms, cfg.seed)
+    val aSigUdf = MinHasher.signatureUdf(cfg.numPerms, cfg.seed + 1)
+    clips.select(
       col("clip_id"),
       sha2(col("bytes"), 256).as("sha"),
       xxhash64(col("transcript")).as("tHashExact"),
       tsh.as("tshingles"),
+      twsh.as("twshingles"),
       AudioPcm.audioShingles(spark, col("bytes"), col("sr_hz"),
         cfg.frameMs, cfg.hopMs, cfg.framesPerShingle, cfg.energyLevels).as("ashingles"),
       SimHash.simhash(spark, col("transcript")).as("simhash"),
       col("transcript"))
-
-    val tSigs = MinHasher.signatures(base, "clip_id", "tshingles", cfg.numPerms, cfg.seed)
-      .withColumnRenamed("sig", "tsig")
-    val aSigs = MinHasher.signatures(base, "clip_id", "ashingles", cfg.numPerms, cfg.seed + 1)
-      .withColumnRenamed("sig", "asig")
-    base.join(tSigs, Seq("clip_id"), "left").join(aSigs, Seq("clip_id"), "left")
+      .withColumn("tsig", tSigUdf(col("twshingles")))
+      .withColumn("asig", aSigUdf(col("ashingles")))
   }
 
   def run(spark: SparkSession, clips: DataFrame, cfg: DedupConfig = DedupConfig.default): PipelineResult = {
     val metrics = scala.collection.mutable.ArrayBuffer[StageMetric]()
-    val sigs = signatures(spark, clips, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    metrics += StageMetric("signatures", "rows", sigs.count())
+    // clips are read twice (signature pass + PCM confirm); cache the bytes
+    // once instead of re-scanning/re-decoding the source.
+    val cachedClips = clips.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not .persist: the signature rows carry several
+    // 100-1000 element arrays, and the columnar cache builder (per-element
+    // compression) costs more than the signature computation itself;
+    // checkpointing stores UnsafeRows as-is and cuts the plan lineage for
+    // every downstream branch.
+    val sigs = signatures(spark, cachedClips, cfg).localCheckpoint(eager = true)
+    if (cfg.collectMetrics)
+      metrics += StageMetric("signatures", "rows", sigs.count())
 
     // (a) exact dups: identical content hash (audio) or identical transcript.
     //     groupBy + adjacent pairing would lose transitivity info; emit
@@ -87,9 +102,18 @@ object DedupPipeline {
     val aSigOnly = sigs.filter(col("asig").isNotNull).select(col("clip_id"), col("asig").as("sig"))
     val (aCands, aDropped) = LshCandidates.candidatePairs(
       aSigOnly, "clip_id", cfg.audioBands, cfg.audioRowsPerBand, cfg.maxBucketSize)
-    val audioScreened = PairVerifier.verify(aCands, sigs, "clip_id", "ashingles",
+    // persisted: pcmConfirm reads the screened pairs twice (id semi-join +
+    // the byte join) — without this the whole LSH+verify lineage would run
+    // twice.
+    // r=2 audio bands are deliberately loose (recall), so candidates carry a
+    // false-positive tail; the signature-estimate screen (1KB/row) keeps the
+    // exact-Jaccard join from shuffling the ~7KB shingle arrays for them.
+    val aPlausible = PairVerifier.estimateScreen(aCands, sigs, "clip_id", "asig",
+      cfg.audioEstimateMin)
+    val audioScreened = PairVerifier.verify(aPlausible, sigs, "clip_id", "ashingles",
       cfg.audioJaccardThreshold, "audio_minhash")
-    val audioPairs = PairVerifier.pcmConfirm(audioScreened, clips, "clip_id", cfg.pcmCorrMin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val audioPairs = PairVerifier.pcmConfirm(audioScreened, cachedClips, "clip_id", cfg.pcmCorrMin)
 
     // (d) containment: long verbatim transcript runs (>= cfg.containmentMinRun)
     val containPairs = ContainmentJoin.pairs(
@@ -100,9 +124,19 @@ object DedupPipeline {
       .unionByName(textPairs).unionByName(audioPairs).unionByName(containPairs)
       .dropDuplicates("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    metrics += StageMetric("candidates_text_dropped_buckets", "rows", tDropped.count())
-    metrics += StageMetric("candidates_audio_dropped_buckets", "rows", aDropped.count())
-    metrics += StageMetric("dup_pairs", "rows", dupPairs.count())
+    if (cfg.collectMetrics) {
+      // one job for both dropped-bucket counters (never silent, never serial)
+      val droppedCounts = tDropped.select(lit("text").as("m"))
+        .unionByName(aDropped.select(lit("audio").as("m")))
+        .groupBy("m").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      metrics += StageMetric("candidates_text_dropped_buckets", "rows",
+        droppedCounts.getOrElse("text", 0L))
+      metrics += StageMetric("candidates_audio_dropped_buckets", "rows",
+        droppedCounts.getOrElse("audio", 0L))
+      metrics += StageMetric("dup_pairs", "rows", dupPairs.count())
+      cachedClips.unpersist() // dupPairs materialized; bytes no longer needed
+    }
 
     val clusters = ConnectedComponents.clusters(dupPairs, cfg.minClusterSize)
     PipelineResult(sigs, dupPairs, clusters, metrics.toSeq)

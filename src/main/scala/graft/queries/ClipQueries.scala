@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.config.DedupConfig
+import graft.pipeline.DedupPipeline
+import graft.sources.{ClipCorpus, CorpusConfig}
+import org.apache.spark.sql.functions._
+
+/**
+ * The flagship audio clip + transcript dedup pipeline (BASELINE.json
+ * north_star) over the deterministically synthesized corpus (TESTDATA has no
+ * audio table; no external data). Not SQL-expressible in DuckDB (PCM decode,
+ * LSH, CC) — these queries take the driver's rows-only check; exactness vs
+ * the brute-force oracle is enforced by ScalaTest (PipelineSpec: dup-pair
+ * recall >= 0.99, precision >= 0.97 on planted clusters).
+ *
+ * Corpus size scales with the sf dir so the sf0.1 bench measures real
+ * throughput while the sf0.01 verify stays fast.
+ */
+object ClipQueries {
+
+  def clipCount(dir: String): Long =
+    if (dir.contains("sf0.1")) 20000L
+    else if (dir.contains("sf0.01")) 4000L
+    else 1000L
+
+  def corpusConfig(dir: String): CorpusConfig =
+    CorpusConfig(seed = 42L, n = clipCount(dir))
+
+  val clusters = QueryDef(
+    "clip_dedup_clusters",
+    (spark, dir) => {
+      val clips = ClipCorpus.clips(spark, corpusConfig(dir)).toDF()
+      DedupPipeline.run(spark, clips, DedupConfig.default)
+        .clusters
+        .select(col("node").as("clip_id"), col("component"), col("clusterSize"))
+        .orderBy("clip_id")
+    },
+    None)
+
+  val dupPairs = QueryDef(
+    "clip_dup_pairs",
+    (spark, dir) => {
+      val clips = ClipCorpus.clips(spark, corpusConfig(dir)).toDF()
+      DedupPipeline.run(spark, clips, DedupConfig.default)
+        .dupPairs
+        .orderBy("a", "b")
+    },
+    None)
+
+  val signatures = QueryDef(
+    "clip_signatures",
+    (spark, dir) => {
+      val clips = ClipCorpus.clips(spark, corpusConfig(dir)).toDF()
+      DedupPipeline.signatures(spark, clips, DedupConfig.default)
+        .select(col("clip_id"), col("sha"), col("simhash"),
+          size(col("tshingles")).cast("long").as("n_text_shingles"),
+          size(col("ashingles")).cast("long").as("n_audio_shingles"))
+        .orderBy("clip_id")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(clusters, dupPairs, signatures)
+}

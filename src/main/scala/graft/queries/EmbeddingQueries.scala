@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the `embeddings` table (64-dim float vectors) —
+ * the Spark re-expression of the reference's FAISS search surface:
+ * brute-force exact cosine top-k (IndexFlatIP semantics,
+ * improved_faiss_detector.py:297-317 + 522-556) and an IVF-bucketed variant
+ * (the index type its autofaiss path would pick at scale,
+ * faiss_bert_similarity.py:109-129): assign every vector to its nearest of
+ * K centroids, then search only within the probe's bucket.
+ *
+ * All float math is built as LEFT-ASSOCIATIVE double chains in array-index
+ * order on both sides (Spark `aggregate` folds left over the array; the
+ * oracle SQL is a generated left-assoc `+` chain), so scores are
+ * bit-identical — no rounding, no tolerance.
+ */
+object EmbeddingQueries {
+  val Dim = 64
+  val TopK = 5
+  val NumCentroids = 16
+  val QueryStride = 100 // probes = vec_id % QueryStride == 0
+
+  // ---- Spark-side exact-fold vector math ----
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+  private def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+  private def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / (sqrt(na) * sqrt(nb))
+
+  // ---- oracle-side generated chains (same order, same casts) ----
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+  private def norm2Sql(a: String): String = dotSql(a, a)
+  private def cosineSql(a: String, na: String, b: String, nb: String): String =
+    s"(${dotSql(a, b)}) / (sqrt($na) * sqrt($nb))"
+
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+
+  val embeddingNorms = QueryDef(
+    "q_embedding_norms",
+    (spark, dir) =>
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+          sqrt(norm2(col("embedding"))).as("l2"))
+        .orderBy("vec_id"),
+    Some(s"""SELECT vec_id, len(embedding) AS dim, sqrt(${norm2Sql("embedding")}) AS l2
+      |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  /** Brute-force exact cosine top-k for probe vectors (vec_id % $QueryStride
+    * == 0) — the flat-index oracle every ANN variant is measured against. */
+  val cosineTopk = QueryDef(
+    "q_cosine_topk",
+    (spark, dir) => {
+      val vecs = withNorm(spark, dir)
+      val q = vecs.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn"))
+      val t = vecs.select(col("vec_id").as("vid"), col("embedding").as("te"), col("n2").as("tn"))
+      broadcast(q).join(t, col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid"),
+          cosine(col("qe"), col("qn"), col("te"), col("tn")).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("vid"), col("rk").cast("long").as("rk"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn FROM v WHERE vec_id % $QueryStride = 0),
+      |scored AS (
+      |  SELECT qid, v.vec_id AS vid, ${cosineSql("qe", "qn", "v.embedding", "v.n2")} AS cos
+      |  FROM q JOIN v ON qid != v.vec_id
+      |), ranked AS (
+      |  SELECT qid, vid, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+      |  FROM scored
+      |)
+      |SELECT qid, vid, rk, cos FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
+
+  /** IVF-bucketed approximate top-k: centroids = first $NumCentroids vectors;
+    * every vector is assigned to its max-cosine centroid; each probe searches
+    * only its own bucket. The scale path: the per-bucket join replaces the
+    * full cross product with an equi-join on the centroid id. */
+  val annIvf = QueryDef(
+    "q_ann_ivf",
+    (spark, dir) => {
+      val vecs = withNorm(spark, dir)
+      val cents = vecs.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn"))
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("n2"), col("cid"),
+          cosine(col("embedding"), col("n2"), col("ce"), col("cn")).as("ccos"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("embedding"), col("n2"), col("cid"))
+      val q = assigned.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("n2").as("qn"), col("cid"))
+      val t = assigned.select(col("vec_id").as("vid"), col("embedding").as("te"),
+        col("n2").as("tn"), col("cid"))
+      q.join(t, Seq("cid")).filter(col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid"),
+          cosine(col("qe"), col("qn"), col("te"), col("tn")).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("vid"), col("rk").cast("long").as("rk"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn FROM v WHERE vec_id < $NumCentroids),
+      |ac AS (
+      |  SELECT v.vec_id, v.embedding, v.n2, cid,
+      |         row_number() OVER (PARTITION BY v.vec_id
+      |                            ORDER BY ${cosineSql("v.embedding", "v.n2", "ce", "cn")} DESC, cid) AS crk
+      |  FROM v CROSS JOIN c
+      |), assigned AS (SELECT vec_id, embedding, n2, cid FROM ac WHERE crk = 1),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn, cid FROM assigned
+      |      WHERE vec_id % $QueryStride = 0),
+      |scored AS (
+      |  SELECT qid, t.vec_id AS vid, ${cosineSql("qe", "qn", "t.embedding", "t.n2")} AS cos
+      |  FROM q JOIN assigned t USING (cid) WHERE qid != t.vec_id
+      |), ranked AS (
+      |  SELECT qid, vid, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+      |  FROM scored
+      |)
+      |SELECT qid, vid, rk, cos FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(embeddingNorms, cosineTopk, annIvf)
+}

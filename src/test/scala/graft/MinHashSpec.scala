@@ -25,6 +25,20 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
+  test("row-local signature UDF equals the declarative explode+groupBy plan") {
+    val rng = new graft.sources.ClipCorpus.Rng(11L)
+    val docs = (0 until 30).map { d =>
+      val n = 1 + rng.nextInt(200)
+      ("d" + d, (0 until n).map(_ => math.abs(rng.nextLong()) % Hashing.P).distinct)
+    }.toDF("id", "hs")
+    val declar = MinHasher.signatures(docs, "id", "hs", 64, 42L)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val fast = docs.select($"id", MinHasher.signatureUdf(64, 42L)($"hs").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(declar.keySet == fast.keySet)
+    declar.foreach { case (id, sig) => assert(sig == fast(id), id) }
+  }
+
   test("minhash agreement estimates jaccard within 3 sigma (seeded property sweep)") {
     val rng = new graft.sources.ClipCorpus.Rng(7L)
     (0 until 20).foreach { trial =>
