@@ -107,11 +107,13 @@ object ContainmentJoin {
     z ^ (z >>> 31)
   }
 
+  /** Column UDF form of fingerprintsJvm (array<long> per row). */
+  def fingerprintsUdf(minRun: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => fingerprintsJvm(t, minRun))
+
   /** (id, fp) fingerprints via the row-local fast path. */
-  def fingerprintsFast(df: DataFrame, idCol: String, textCol: String, minRun: Int): DataFrame = {
-    val f = udf((t: String) => fingerprintsJvm(t, minRun))
-    df.select(col(idCol), explode(f(col(textCol))).as("fp"))
-  }
+  def fingerprintsFast(df: DataFrame, idCol: String, textCol: String, minRun: Int): DataFrame =
+    df.select(col(idCol), explode(fingerprintsUdf(minRun)(col(textCol))).as("fp"))
 
   /** Row-local longest common substring length (rolling-array DP). */
   def longestCommonRunJvm(a: String, b: String): Int = {
@@ -159,6 +161,14 @@ object ContainmentJoin {
     graft.functions.AudioPcm.sortedDistinct(buf, n)
   }
 
+  /** UDFs shared by the batch and incremental verify paths. */
+  val gramsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => gramHashesJvm(t))
+  val sharedUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((x: Array[Long], y: Array[Long]) => sharedSortedJvm(x, y))
+  val lcrUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((x: String, y: String) => longestCommonRunJvm(x, y))
+
   /** Count of shared values between two sorted long arrays (merge pass). */
   def sharedSortedJvm(a: Array[Long], b: Array[Long]): Int = {
     if (a == null || b == null) return 0
@@ -178,18 +188,21 @@ object ContainmentJoin {
     * near-miss boilerplate prefixes shorter than minRun fail here without
     * ever running the DP) -> exact longest-common-run DP on survivors only.
     */
-  def pairs(df: DataFrame, idCol: String, textCol: String, cfg: DedupConfig): DataFrame = {
+  def pairs(df: DataFrame, idCol: String, textCol: String, cfg: DedupConfig): DataFrame =
+    pairsFromFps(fingerprintsFast(df, idCol, textCol, cfg.containmentMinRun),
+      df.select(col(idCol), col(textCol)), idCol, textCol, cfg)
+
+  /** Same, from a precomputed (id, fp) relation (e.g. the signature table's
+    * stored fingerprints — the incremental path never re-shingles). */
+  def pairsFromFps(fps: DataFrame, df: DataFrame, idCol: String, textCol: String,
+                   cfg: DedupConfig): DataFrame = {
     val w = cfg.containmentMinRun - GramK + 1
-    val fps = fingerprintsFast(df, idCol, textCol, cfg.containmentMinRun)
     val sizes = fps.groupBy("fp").agg(count(lit(1)).as("n"))
     val kept = fps.join(sizes.filter(col("n") <= cfg.maxBucketSize), "fp")
     val cands = kept.select(col("fp"), col(idCol).as("a"))
       .join(kept.select(col("fp"), col(idCol).as("b")), "fp")
       .filter(col("a") < col("b"))
       .select("a", "b").dropDuplicates("a", "b")
-    val gramsUdf = udf((t: String) => gramHashesJvm(t))
-    val sharedUdf = udf((x: Array[Long], y: Array[Long]) => sharedSortedJvm(x, y))
-    val lcrUdf = udf((x: String, y: String) => longestCommonRunJvm(x, y))
     val txt = df.select(col(idCol), col(textCol), gramsUdf(col(textCol)).as("_g"))
     cands
       .join(txt.select(col(idCol).as("a"), col(textCol).as("_ta"), col("_g").as("_ga")), "a")

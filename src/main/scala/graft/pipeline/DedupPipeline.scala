@@ -56,6 +56,8 @@ object DedupPipeline {
       AudioPcm.audioShingles(spark, col("bytes"), col("sr_hz"),
         cfg.frameMs, cfg.hopMs, cfg.framesPerShingle, cfg.energyLevels).as("ashingles"),
       SimHash.simhash(spark, col("transcript")).as("simhash"),
+      ContainmentJoin.fingerprintsUdf(cfg.containmentMinRun)(lower(col("transcript")))
+        .as("cfps"),
       col("transcript"))
       .withColumn("tsig", tSigUdf(col("twshingles")))
       .withColumn("asig", aSigUdf(col("ashingles")))
@@ -115,9 +117,12 @@ object DedupPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val audioPairs = PairVerifier.pcmConfirm(audioScreened, cachedClips, "clip_id", cfg.pcmCorrMin)
 
-    // (d) containment: long verbatim transcript runs (>= cfg.containmentMinRun)
-    val containPairs = ContainmentJoin.pairs(
-      sigs.select(col("clip_id"), col("transcript")), "clip_id", "transcript", cfg)
+    // (d) containment: long verbatim transcript runs (>= cfg.containmentMinRun);
+    //     fingerprints come precomputed from the signature pass
+    val containPairs = ContainmentJoin.pairsFromFps(
+      sigs.select(col("clip_id"), explode(col("cfps")).as("fp")),
+      sigs.select(col("clip_id"), lower(col("transcript")).as("_lt")),
+      "clip_id", "_lt", cfg)
       .select(col("a"), col("b"), lit(0.9).as("score"), lit("containment").as("method"))
 
     val dupPairs = exactEdges

@@ -59,5 +59,27 @@ object ClipQueries {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(clusters, dupPairs, signatures)
+  /** Incremental MERGE demo: index the first 2/3, merge the rest, return the
+    * final cluster assignment (IncrementalSpec pins equality with a full
+    * rebuild; rows-only check here). */
+  val incremental = QueryDef(
+    "clip_incremental_clusters",
+    (spark, dir) => {
+      import graft.pipeline.{DedupStore, IncrementalDedup}
+      val n = math.min(clipCount(dir), 4000L) // merge path demo, not a bench
+      val ccfg = CorpusConfig(seed = 42L, n = n)
+      val store = new DedupStore(
+        java.nio.file.Files.createTempDirectory("graft-incr").toString)
+      val cut = n * 2 / 3
+      val base = ClipCorpus.clips(spark, ccfg).toDF().filter(col("clip_id") <
+        f"clip_$cut%08d")
+      val delta = ClipCorpus.clips(spark, ccfg).toDF().filter(col("clip_id") >=
+        f"clip_$cut%08d")
+      IncrementalDedup.initialize(spark, base, DedupConfig.default, store)
+      IncrementalDedup.merge(spark, delta, DedupConfig.default, store)
+      store.clusters.read(spark).orderBy("clip_id")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(clusters, dupPairs, signatures, incremental)
 }

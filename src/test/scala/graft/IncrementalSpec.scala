@@ -1,0 +1,118 @@
+package graft
+
+import graft.config.DedupConfig
+import graft.pipeline.{DedupPipeline, DedupStore, IncrementalDedup}
+import graft.sources.{ClipCorpus, CorpusConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental MERGE semantics (north rule): a batch of merges must land on
+ * the SAME cluster assignment as a full rebuild of the merged corpus
+ * (reference v2 semantics, improved_faiss_detector.py:413-469), be
+ * idempotent (:421-427 "no changes" early-exit), honor tombstones (v3,
+ * incremental_faiss_detector.py:74-87), and re-sign only the delta.
+ */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg = DedupConfig.default
+  val cc = CorpusConfig(seed = 42L, n = 600L)
+
+  private def freshStore(): DedupStore =
+    new DedupStore(java.nio.file.Files.createTempDirectory("graft-store").toString)
+
+  private def clipsRange(from: Long, to: Long): DataFrame = {
+    val conf = cc
+    spark.range(from, to, 1, 4).mapPartitions(_.map(i => ClipCorpus.genClip(conf, i))).toDF()
+  }
+
+  /** Co-clustering partition as a canonical set of sorted member lists. */
+  private def partition(assign: DataFrame): Set[Seq[String]] =
+    assign.groupBy("component").agg(collect_list("clip_id").as("m"))
+      .collect().map(_.getSeq[String](1).sorted.toSeq).filter(_.size > 1).toSet
+
+  test("merge(delta) == full rebuild on the merged corpus (cluster-identical)") {
+    val store = freshStore()
+    IncrementalDedup.initialize(spark, clipsRange(0, 400), cfg, store)
+    IncrementalDedup.merge(spark, clipsRange(400, 600), cfg, store)
+    val incr = partition(store.clusters.read(spark))
+
+    val full = DedupPipeline.run(spark, clipsRange(0, 600), cfg)
+    val fullAssign = full.clusters.select(col("node").as("clip_id"), col("component"))
+    val rebuild = partition(fullAssign)
+    assert(incr == rebuild,
+      s"incremental clusters != rebuild (incr ${incr.size}, rebuild ${rebuild.size}); " +
+        s"only-incr=${(incr -- rebuild).take(3)} only-rebuild=${(rebuild -- incr).take(3)}")
+    full.signatures.unpersist(); full.dupPairs.unpersist()
+  }
+
+  test("merge is idempotent: re-merging the same batch changes nothing") {
+    val store = freshStore()
+    IncrementalDedup.initialize(spark, clipsRange(0, 300), cfg, store)
+    IncrementalDedup.merge(spark, clipsRange(200, 300), cfg, store)
+    val before = partition(store.clusters.read(spark))
+    val pairsBefore = store.dupPairs.read(spark).count()
+    IncrementalDedup.merge(spark, clipsRange(200, 300), cfg, store)
+    assert(partition(store.clusters.read(spark)) == before)
+    assert(store.dupPairs.read(spark).count() == pairsBefore)
+  }
+
+  test("modified clip is re-signed and re-clustered; stale edges die") {
+    val store = freshStore()
+    IncrementalDedup.initialize(spark, clipsRange(0, 100), cfg, store)
+    // pick a clip inside a planted cluster and replace its content with a
+    // distractor-like row: it must leave its cluster
+    val member = store.clusters.read(spark)
+      .groupBy("component").agg(count(lit(1)).as("n"), max("clip_id").as("m"))
+      .filter(col("n") >= 2).orderBy("component")
+      .select("m").as[String].head()
+    val donor = ClipCorpus.genClip(CorpusConfig(seed = 999L, n = 10L), 7L)
+    val modified = Seq(sources.Clip(member, donor.bytes, donor.sr_hz,
+      donor.dur_ms, donor.codec, donor.transcript)).toDF()
+    IncrementalDedup.merge(spark, modified, cfg, store)
+    val comp = store.clusters.read(spark).filter(col("clip_id") === member)
+      .select("component").as[String].head()
+    val size = store.clusters.read(spark)
+      .filter(col("component") === comp).count()
+    assert(size == 1L, s"modified clip still co-clustered (component $comp size $size)")
+    // and its signature row was actually replaced
+    val sha = store.signatures.read(spark).filter(col("clip_id") === member)
+      .select("sha").as[String].head()
+    val clipSha = java.security.MessageDigest.getInstance("SHA-256").digest(donor.bytes)
+      .map("%02x".format(_)).mkString
+    assert(sha == clipSha)
+  }
+
+  test("tombstoned clips leave clusters but stay queryable (v3 semantics)") {
+    val store = freshStore()
+    IncrementalDedup.initialize(spark, clipsRange(0, 100), cfg, store)
+    val victim = store.clusters.read(spark)
+      .groupBy("component").agg(count(lit(1)).as("n"), max("clip_id").as("m"))
+      .filter(col("n") >= 2).orderBy("component")
+      .select("m").as[String].head()
+    IncrementalDedup.merge(spark, clipsRange(0, 0), cfg, store,
+      deleteIds = Seq(victim).toDF("clip_id"))
+    val assign = store.clusters.read(spark)
+    assert(assign.filter(col("clip_id") === victim).count() == 0, "deleted still clustered")
+    val sigRow = store.signatures.read(spark).filter(col("clip_id") === victim)
+    assert(sigRow.count() == 1 && sigRow.select("is_deleted").as[Boolean].head(),
+      "tombstone row must remain, flagged")
+    // no surviving edges reference the tombstone
+    val p = store.dupPairs.read(spark)
+    assert(p.filter(col("a") === victim || col("b") === victim).count() == 0)
+  }
+
+  test("snapshot history records lineage (operation per commit)") {
+    val store = freshStore()
+    IncrementalDedup.initialize(spark, clipsRange(0, 50), cfg, store)
+    IncrementalDedup.merge(spark, clipsRange(50, 80), cfg, store)
+    val hist = store.signatures.history
+    assert(hist.size == 2)
+    assert(hist.head.contains("\"create\"") && hist.last.contains("\"merge\""))
+    assert(store.signatures.currentVersion == 1)
+    // time travel: v0 has only the base rows
+    assert(store.signatures.read(spark, 0).count() == 50)
+    assert(store.signatures.read(spark).count() == 80)
+  }
+}
