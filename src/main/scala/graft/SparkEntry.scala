@@ -27,7 +27,8 @@ object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
     TextAnalytics.all ++ TextDedup.all ++ Retrieval.all ++
-      EmbeddingQueries.all ++ EventQueries.all ++ ClipQueries.all
+      EmbeddingQueries.all ++ EventQueries.all ++ SimilarityFunctions.all ++
+      ClipQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -49,7 +49,10 @@ object ConnectedComponents {
     // optimizer spins for minutes after ~10 rounds.
     def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 
-    var labels = pin(sym.select(col("src").as("node"), col("src").as("label")).distinct())
+    // seed labels with min(node, min neighbor): one aggregation that skips
+    // what would otherwise be the first propagation round
+    var labels = pin(sym.groupBy(col("src").as("node"))
+      .agg(least(col("node"), min(col("dst"))).as("label")))
     var prevSig = signature(labels)
     var converged = false
     var iter = 0

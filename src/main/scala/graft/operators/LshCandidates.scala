@@ -42,6 +42,38 @@ object LshCandidates {
     candidatePairs(sigs, idCol, cfg.bands, cfg.rowsPerBand, cfg.maxBucketSize)
 
   /**
+   * Fused candidate generation for SEVERAL signature modalities in ONE
+   * banded self-join: each modality's band keys are tagged (modality prefix
+   * on the band index) and unioned, so the bucket-size guard, the self-join,
+   * and the dedup run once — half the stages of running the pipeline per
+   * modality, which matters because driver/stage overhead is the serial term
+   * in the scaling budget.
+   *
+   * @param modalities (tag, sigCol DataFrame(id, sig), bands, rowsPerBand)
+   * @return (candidates (a, b, modality), droppedBuckets (modality, band,
+   *         bandVal, bucketSize))
+   */
+  def fusedCandidatePairs(modalities: Seq[(String, DataFrame, Int, Int)],
+                          idCol: String, maxBucketSize: Int): (DataFrame, DataFrame) = {
+    val keys = modalities.map { case (tag, sigs, bands, rows) =>
+      bandKeys(sigs, idCol, bands, rows).select(
+        col(idCol), lit(tag).as("modality"), col("band"), col("bandVal"))
+    }.reduce(_ unionByName _)
+    val sizes = keys.groupBy("modality", "band", "bandVal")
+      .agg(count(lit(1)).as("bucketSize"))
+    val dropped = sizes.filter(col("bucketSize") > maxBucketSize)
+    val kept = keys.join(sizes.filter(col("bucketSize") <= maxBucketSize),
+      Seq("modality", "band", "bandVal"))
+    val l = kept.select(col(idCol).as("a"), col("modality"), col("band"), col("bandVal"))
+    val r = kept.select(col(idCol).as("b"), col("modality"), col("band"), col("bandVal"))
+    val pairs = l.join(r, Seq("modality", "band", "bandVal"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "modality")
+      .dropDuplicates("a", "b", "modality")
+    (pairs, dropped.select(col("modality"), col("band"), col("bandVal"), col("bucketSize")))
+  }
+
+  /**
    * Candidate pairs (a < b) from shared band buckets.
    * @return (candidates DF with columns a, b; droppedBuckets DF with columns
    *         band, bandVal, bucketSize for buckets over maxBucketSize)

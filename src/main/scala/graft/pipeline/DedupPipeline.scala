@@ -81,35 +81,39 @@ object DedupPipeline {
     //     groupBy + adjacent pairing would lose transitivity info; emit
     //     star edges to the min id per group (linear, CC closes the group).
     val exactEdges = {
-      val bySha = sigs.select(col("clip_id"), col("sha").as("k"))
-      val byTxt = sigs.filter(length(col("transcript")) > 0)
-        .select(col("clip_id"), col("tHashExact").cast("string").as("k"))
-      Seq(bySha, byTxt).map { g =>
-        val heads = g.groupBy("k").agg(min("clip_id").as("a"), count(lit(1)).as("n"))
-          .filter(col("n") > 1)
-        g.join(heads, "k").filter(col("clip_id") =!= col("a"))
-          .select(col("a"), col("clip_id").as("b"), lit(1.0).as("score"),
-            lit("exact").as("method"))
-      }.reduce(_ union _).dropDuplicates("a", "b")
+      // both identity keys (content sha + transcript hash) in ONE tagged key
+      // space: one groupBy + one join instead of two of each
+      val g = sigs.select(col("clip_id"), explode(array(
+        concat(lit("s:"), col("sha")),
+        concat(lit("t:"), col("tHashExact").cast("string")))).as("k"))
+      val heads = g.groupBy("k").agg(min("clip_id").as("a"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      g.join(heads, "k").filter(col("clip_id") =!= col("a"))
+        .select(col("a"), col("clip_id").as("b"), lit(1.0).as("score"),
+          lit("exact").as("method"))
+        .dropDuplicates("a", "b")
     }
 
-    // (b) text LSH candidates -> exact jaccard verify
-    val tSigOnly = sigs.filter(col("tsig").isNotNull).select(col("clip_id"), col("tsig").as("sig"))
-    val (tCands, tDropped) = LshCandidates.candidatePairs(tSigOnly, "clip_id", cfg)
+    // (b) LSH candidates for BOTH modalities in one fused banded self-join
+    //     (half the candidate-stage count — stage/driver overhead is the
+    //     serial term in the scaling budget)
+    val (cands, dropped) = LshCandidates.fusedCandidatePairs(Seq(
+      ("text", sigs.filter(col("tsig").isNotNull)
+        .select(col("clip_id"), col("tsig").as("sig")), cfg.bands, cfg.rowsPerBand),
+      ("audio", sigs.filter(col("asig").isNotNull)
+        .select(col("clip_id"), col("asig").as("sig")), cfg.audioBands, cfg.audioRowsPerBand)),
+      "clip_id", cfg.maxBucketSize)
+    val tCands = cands.filter(col("modality") === "text").select("a", "b")
+    val aCands = cands.filter(col("modality") === "audio").select("a", "b")
+
     val textPairs = PairVerifier.verify(tCands, sigs, "clip_id", "tshingles",
       cfg.textJaccardThreshold, "text_minhash")
 
-    // (c) audio LSH candidates (wider bands for the noisier sketch) ->
-    //     jaccard floor -> exact PCM-correlation confirm
-    val aSigOnly = sigs.filter(col("asig").isNotNull).select(col("clip_id"), col("asig").as("sig"))
-    val (aCands, aDropped) = LshCandidates.candidatePairs(
-      aSigOnly, "clip_id", cfg.audioBands, cfg.audioRowsPerBand, cfg.maxBucketSize)
-    // persisted: pcmConfirm reads the screened pairs twice (id semi-join +
-    // the byte join) — without this the whole LSH+verify lineage would run
-    // twice.
-    // r=2 audio bands are deliberately loose (recall), so candidates carry a
-    // false-positive tail; the signature-estimate screen (1KB/row) keeps the
-    // exact-Jaccard join from shuffling the ~7KB shingle arrays for them.
+    // (c) audio: the r=3 bands still pass a false tail; the signature-
+    //     estimate screen (1KB/row) keeps the exact-Jaccard join from
+    //     shuffling the ~7KB shingle arrays for it, then the exact
+    //     PCM-correlation confirm runs on survivors only. audioScreened is
+    //     persisted because pcmConfirm reads it twice (id semi-join + join).
     val aPlausible = PairVerifier.estimateScreen(aCands, sigs, "clip_id", "asig",
       cfg.audioEstimateMin)
     val audioScreened = PairVerifier.verify(aPlausible, sigs, "clip_id", "ashingles",
@@ -131,8 +135,7 @@ object DedupPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (cfg.collectMetrics) {
       // one job for both dropped-bucket counters (never silent, never serial)
-      val droppedCounts = tDropped.select(lit("text").as("m"))
-        .unionByName(aDropped.select(lit("audio").as("m")))
+      val droppedCounts = dropped.select(col("modality").as("m"))
         .groupBy("m").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       metrics += StageMetric("candidates_text_dropped_buckets", "rows",
@@ -143,7 +146,18 @@ object DedupPipeline {
       cachedClips.unpersist() // dupPairs materialized; bytes no longer needed
     }
 
-    val clusters = ConnectedComponents.clusters(dupPairs, cfg.minClusterSize)
-    PipelineResult(sigs, dupPairs, clusters, metrics.toSeq)
+    // global max-pairs safety valve (reference's rising-floor cap,
+    // utils/util.py:174-220) — NEVER silent: dropped count goes to metrics.
+    // Applied on the metrics path only; the cap exists to bound a pathological
+    // blow-up, which the dropped-bucket guards should have caught first.
+    val cappedPairs =
+      if (cfg.collectMetrics && cfg.maxPairs > 0) {
+        val (capped, nDropped) = PairVerifier.capPairs(dupPairs, cfg.maxPairs)
+        if (nDropped > 0) metrics += StageMetric("dup_pairs_dropped_by_cap", "rows", nDropped)
+        capped
+      } else dupPairs
+
+    val clusters = ConnectedComponents.clusters(cappedPairs, cfg.minClusterSize)
+    PipelineResult(sigs, cappedPairs, clusters, metrics.toSeq)
   }
 }

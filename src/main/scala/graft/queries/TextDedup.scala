@@ -265,7 +265,32 @@ object TextDedup {
       |SELECT n AS node, least(n, min(m)) AS component FROM reach
       |GROUP BY n ORDER BY node""".stripMargin))
 
+  /** Cluster profile (W4): components of the >=0.6 Jaccard graph ordered by
+    * size desc; the component label is the min member id (the centroid-first
+    * convention of the reference's community output). */
+  val clusterProfile = QueryDef(
+    "q_cluster_profile",
+    (spark, dir) => {
+      val docs = normedDocs(spark, dir).filter(col("doc_id") < BruteCap)
+      val edges = jaccardPairs(charGramSets(docs), 0.6).select("a", "b")
+      ConnectedComponents.run(edges)
+        .groupBy("component").agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("component"))
+    },
+    Some(s"""WITH RECURSIVE ${gramCtes(cap = true)},
+      |${jaccardCtes(0.6)},
+      |sym AS (SELECT a, b FROM jac UNION SELECT b, a FROM jac),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a WHERE r.n != s.b
+      |),
+      |assign AS (SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n)
+      |SELECT component, count(*) AS n_members FROM assign
+      |GROUP BY component ORDER BY n_members DESC, component""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, jaccardDupPairs, wordNgramJaccardPairs, simhashSigs,
-    simhashNearPairs, minhashSigs, lshBandPairs, containmentFps, ccClusters)
+    simhashNearPairs, minhashSigs, lshBandPairs, containmentFps, ccClusters,
+    clusterProfile)
 }
