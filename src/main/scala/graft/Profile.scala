@@ -29,6 +29,67 @@ object Profile {
     time("synth+cache")(clips.count())
     time("synth-only-recount")(clips.count())
 
+    if (args.length > 2 && args(2) == "qtime") {
+      // time named SparkEntry queries twice (cold+warm) against args(3) dir
+      val dir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+      val names = if (args.length > 4) args(4).split(",").toSeq
+        else Seq("q_minhash_sigs", "q_lsh_band_pairs", "q_containment_fp")
+      val qmap = SparkEntry.queries
+      names.foreach { nm =>
+        (1 to 2).foreach { rep =>
+          time(s"$nm#$rep")(qmap(nm)(spark, dir).count())
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.length > 2 && args(2) == "docsig") {
+      import graft.functions.{Hashing, TextShingles}
+      import graft.operators.MinHasher
+      val dir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      def tsum(name: String, c: org.apache.spark.sql.Column): Unit =
+        (1 to 2).foreach { r =>
+          time(s"$name#$r")(docs.select(c.as("x")).agg(sum(hash(col("x")).cast("long"))).collect())
+        }
+      val grams = TextShingles.charGrams(col("t"), 5)
+      tsum("charGrams", grams)
+      tsum("gramsDistinct", array_distinct(grams))
+      tsum("gramsMd5", transform(grams, Hashing.md5Hash31(_)))
+      tsum("gramsXx", transform(grams, Hashing.fastHash31(_)))
+      tsum("hashShingles", TextShingles.hashShingles(grams, portable = true))
+      tsum("sigUdf", MinHasher.signatureUdf(32, 42L)(
+        TextShingles.hashShingles(grams, portable = true)))
+      // full query shapes
+      val hashed = docs.select(col("doc_id"),
+        TextShingles.hashShingles(TextShingles.charShingles(col("t"), 5),
+          portable = true).as("sh"))
+      val sigs = hashed.filter(size(col("sh")) > 0)
+        .select(col("doc_id"), MinHasher.signatureUdf(32, 42L)(col("sh")).as("sig"))
+      (1 to 2).foreach(r => time(s"sigs-count#$r")(sigs.count()))
+      (1 to 2).foreach(r => time(s"sigs-explode-count#$r")(
+        sigs.select(col("doc_id"), posexplode(col("sig"))).count()))
+      (1 to 2).foreach(r => time(s"sigs-explode-order-count#$r")(
+        sigs.select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "minh")))
+          .orderBy("doc_id", "perm").count()))
+      // with the string-level distinct the real query applies
+      val hashed2 = docs.select(col("doc_id"),
+        TextShingles.hashShingles(TextShingles.charShingles(col("t"), 5),
+          portable = true).as("sh"))
+      val sigs2 = hashed2.filter(size(col("sh")) > 0)
+        .select(col("doc_id"), MinHasher.signatureUdf(32, 42L)(col("sh")).as("sig"))
+      (1 to 2).foreach(r => time(s"sigs2-distinct-count#$r")(sigs2.count()))
+      // the actual QueryDef fn, same session
+      (1 to 2).foreach(r => time(s"real-q_minhash_sigs#$r")(
+        graft.queries.TextDedup.minhashSigs.fn(spark, dir).count()))
+      spark.stop()
+      return
+    }
+
     if (args.length > 2 && args(2) == "sigcols") {
       import graft.functions.{AudioPcm, SimHash, TextShingles}
       import graft.operators.MinHasher

@@ -24,7 +24,9 @@ object SparkUtil {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores)
+      // 2x cores: AQE coalesces surplus partitions, while exactly-cores
+      // partitioning makes every skewed task a straggler with idle cores
+      .config("spark.sql.shuffle.partitions", 2 * cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -49,7 +49,10 @@ object TextDedup {
         explode(TextShingles.charShingles(col("t"), K)).as("g"))
 
   /** Exact Jaccard pairs over a (doc_id, g) shingle relation. */
-  private def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+  private def jaccardPairs(shinglesIn: DataFrame, threshold: Double): DataFrame = {
+    // checkpoint: the shingle relation feeds the count agg AND both sides of
+    // the self-join — three recomputes of the gram pipeline otherwise
+    val shingles = shinglesIn.localCheckpoint(eager = false)
     val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shingles.select(col("doc_id").as("a"), col("g"))
       .join(shingles.select(col("doc_id").as("b"), col("g")), "g")
@@ -166,12 +169,17 @@ object TextDedup {
       |WHERE 1 - CAST(bit_count(xor(x.simhash, y.simhash)) AS DOUBLE) / ${SimHash.Bits} >= 0.85
       |ORDER BY a, b""".stripMargin))
 
+  /** Portable MinHash signatures via the row-local UDF — bit-identical to
+    * the declarative explode+groupBy plan (MinHashSpec pins the parity) but
+    * shuffle-free; the DuckDB oracle recomputes the same minima from text. */
   private def portableSigs(spark: SparkSession, dir: String): DataFrame = {
     val docs = normedDocs(spark, dir)
     val hashed = docs.select(col("doc_id"),
       TextShingles.hashShingles(
         TextShingles.charShingles(col("t"), K), portable = true).as("sh"))
-    MinHasher.signatures(hashed, "doc_id", "sh", MinhashPerms, cfg.seed)
+    hashed.filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        MinHasher.signatureUdf(MinhashPerms, cfg.seed)(col("sh")).as("sig"))
   }
 
   private def minhashCtes(cap: Boolean): String = {
@@ -204,7 +212,10 @@ object TextDedup {
   val lshBandPairs = QueryDef(
     "q_lsh_band_pairs",
     (spark, dir) => {
+      // checkpoint: the band keys feed BOTH sides of the self-join; without
+      // it the whole shingle+signature pipeline runs twice
       val keys = LshCandidates.bandKeys(portableSigs(spark, dir), "doc_id", LshBands, LshRows)
+        .localCheckpoint(eager = false)
       keys.select(col("doc_id").as("a"), col("band"), col("bandVal"))
         .join(keys.select(col("doc_id").as("b"), col("band"), col("bandVal")),
           Seq("band", "bandVal"))

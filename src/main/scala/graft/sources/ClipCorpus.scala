@@ -229,7 +229,10 @@ object ClipCorpus {
   def clips(spark: SparkSession, cc: CorpusConfig): Dataset[Clip] = {
     import spark.implicits._
     val conf = cc
-    spark.range(0, conf.n, 1, spark.sparkContext.defaultParallelism)
+    // 4x over-partitioning: row generation and the signature projection that
+    // inherits this partitioning run long per-row kernels, and cores-sized
+    // tasks turn every straggler into idle cores at the end of the stage
+    spark.range(0, conf.n, 1, 4 * spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map(i => genClip(conf, i)))
   }
 
