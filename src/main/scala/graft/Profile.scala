@@ -29,6 +29,19 @@ object Profile {
     time("synth+cache")(clips.count())
     time("synth-only-recount")(clips.count())
 
+    if (args.length > 2 && args(2) == "explain") {
+      val dir = if (args.length > 3) args(3) else "/root/testdata/sf0.01"
+      val qmap = SparkEntry.queries
+      Seq("q_topk_per_source", "q_token_stats", "q_cosine_topk", "q_lsh_band_pairs")
+        .foreach { nm =>
+          println(s"########## $nm")
+          println(qmap(nm)(spark, dir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+      spark.stop()
+      return
+    }
+
     if (args.length > 2 && args(2) == "qtime") {
       // time named SparkEntry queries twice (cold+warm) against args(3) dir
       val dir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"

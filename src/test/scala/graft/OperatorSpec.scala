@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.AudioPcm
+import graft.operators.{ContainmentJoin, PairVerifier}
+
+/** Kernel-level checks for the verify-stage primitives. */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("capPairs keeps the top maxPairs by score and reports the dropped count") {
+    val pairs = (1 to 10).map(i => (s"a$i", s"b$i", i / 10.0, "m"))
+      .toDF("a", "b", "score", "method")
+    val (kept, dropped) = PairVerifier.capPairs(pairs, 4L)
+    assert(dropped == 6L)
+    val scores = kept.select("score").collect().map(_.getDouble(0)).sorted
+    assert(scores.sameElements(Array(0.7, 0.8, 0.9, 1.0)))
+    val (all, none) = PairVerifier.capPairs(pairs, 100L)
+    assert(none == 0L && all.count() == 10L)
+  }
+
+  test("jaccardLongJvm: exact on sorted and unsorted inputs, edge cases") {
+    assert(PairVerifier.jaccardLongJvm(Array(1L, 2L, 3L), Array(2L, 3L, 4L)) == 0.5)
+    assert(PairVerifier.jaccardLongJvm(Array(3L, 1L, 2L), Array(4L, 2L, 3L)) == 0.5)
+    assert(PairVerifier.jaccardLongJvm(Array(1L), Array(1L)) == 1.0)
+    assert(PairVerifier.jaccardLongJvm(Array(1L), Array(2L)) == 0.0)
+    assert(PairVerifier.jaccardLongJvm(Array.empty[Long], Array(1L)) == 0.0)
+    assert(PairVerifier.jaccardLongJvm(null, Array(1L)) == 0.0)
+  }
+
+  test("estimateJvm: agreement fraction, length-mismatch guard") {
+    assert(PairVerifier.estimateJvm(Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 8L)) == 0.5)
+    assert(PairVerifier.estimateJvm(Array(1L, 2L), Array(1L, 2L, 3L)) == 0.0)
+    assert(PairVerifier.estimateJvm(Array.empty[Long], Array.empty[Long]) == 0.0)
+  }
+
+  test("sortedDistinct sorts and dedups in place") {
+    assert(AudioPcm.sortedDistinct(Array(5L, 1L, 5L, 3L, 1L), 5).toSeq == Seq(1L, 3L, 5L))
+    assert(AudioPcm.sortedDistinct(Array(7L, 9L, 9L), 2).toSeq == Seq(7L, 9L))
+    assert(AudioPcm.sortedDistinct(Array.empty[Long], 0).isEmpty)
+  }
+
+  test("winnowing guarantee: any shared run >= minRun yields a shared fingerprint") {
+    val rng = new graft.sources.ClipCorpus.Rng(5L)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    (0 until 20).foreach { _ =>
+      val shared = randText(70) // exactly minRun
+      val a = randText(rng.nextInt(200)) + shared + randText(rng.nextInt(200))
+      val b = randText(rng.nextInt(200)) + shared + randText(rng.nextInt(200))
+      val fa = ContainmentJoin.fingerprintsJvm(a, 70).toSet
+      val fb = ContainmentJoin.fingerprintsJvm(b, 70).toSet
+      assert(fa.intersect(fb).nonEmpty, s"no shared fingerprint for run of 70")
+      // and the exact confirm agrees
+      assert(ContainmentJoin.longestCommonRunJvm(a, b) >= 70)
+    }
+  }
+
+  test("gram prefilter is a true necessary condition (never rejects a real run)") {
+    val rng = new graft.sources.ClipCorpus.Rng(6L)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val w = 70 - ContainmentJoin.GramK + 1
+    (0 until 20).foreach { _ =>
+      val shared = randText(70 + rng.nextInt(60))
+      val a = randText(rng.nextInt(150)) + shared + randText(rng.nextInt(150))
+      val b = randText(rng.nextInt(150)) + shared + randText(rng.nextInt(150))
+      val ga = ContainmentJoin.gramHashesJvm(a)
+      val gb = ContainmentJoin.gramHashesJvm(b)
+      assert(ContainmentJoin.sharedSortedJvm(ga, gb) >= w)
+    }
+  }
+}
