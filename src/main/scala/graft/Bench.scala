@@ -80,8 +80,11 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // throughput at full cpus (headline already warmed JIT/codegen)
-    val tFull = dedupSeconds(spark, nClips)
+    // full-cpus throughput = the headline pipeline run (includes cold
+    // JIT/codegen — informational; the probe numbers below are the warm,
+    // interleaved measurements)
+    val tFull = results.find(_._1 == "clip_dedup_clusters").map(_._2)
+      .filter(_ > 0).getOrElse(Double.NaN)
     spark.stop()
 
     // ---- part 2: N vs 4N probe, interleaved, min-of-2 ----
