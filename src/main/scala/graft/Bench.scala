@@ -113,9 +113,11 @@ object Bench {
         f""""sec_n":$tN%.3f,"sec_4n":$t4N%.3f,""" +
         f""""clips_per_sec_n":$thrN%.1f,"clips_per_sec_4n":$thr4N%.1f,""" +
         f""""efficiency":$eff%.3f}"""
+    // headline failure must still emit valid JSON (NaN is not JSON)
+    val cps = if (tFull.isNaN || tFull <= 0) -1.0 else nClips / tFull
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","clips":$nClips,""" +
-        f""""clips_per_sec":${nClips / tFull}%.1f,"full_cores":$cpus,"scaling":$scaling}""")
+        f""""clips_per_sec":$cps%.1f,"full_cores":$cpus,"scaling":$scaling}""")
   }
 }

@@ -76,11 +76,16 @@ object ConnectedComponents {
     labels.select(col("node"), col("label").as("component"))
   }
 
-  /** Clusters with at least minSize members; component id = min member id. */
-  def clusters(edges: DataFrame, minSize: Int): DataFrame =
-    run(edges)
-      .withColumn("clusterSize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("component")))
+  /** Clusters with at least minSize members; component id = min member id.
+    * Sizes via groupBy + join, NOT a window over component: a partitioned
+    * window lands an entire mega-component (boilerplate-driven giant
+    * clusters) on one task and AQE does not split skewed window partitions;
+    * the aggregation partial-combines map-side and the equi-join AQE-splits. */
+  def clusters(edges: DataFrame, minSize: Int): DataFrame = {
+    val assign = run(edges)
+    val sizes = assign.groupBy("component").agg(count(lit(1)).as("clusterSize"))
       .filter(col("clusterSize") >= minSize)
+    assign.join(sizes, "component")
       .select(col("node"), col("component"), col("clusterSize"))
+  }
 }

@@ -136,9 +136,13 @@ object ContainmentJoin {
     best
   }
 
-  /** All distinct k-gram hashes of `text`, sorted (same rolling hash as the
-    * fingerprints) — the cheap necessary condition for a shared run: a run of
-    * >= minRun chars implies >= minRun-k+1 consecutive shared grams. */
+  /** All k-gram hashes of `text`, sorted WITH multiplicity (same rolling hash
+    * as the fingerprints) — the cheap necessary condition for a shared run: a
+    * run of >= minRun chars contributes w = minRun-k+1 gram occurrences to
+    * BOTH docs, so sum over values of min(multA, multB) >= w. Multiplicity
+    * matters: a repetitive run (period < w, e.g. repeated boilerplate
+    * padding) has far fewer than w DISTINCT grams, so a distinct-set count
+    * would wrongly reject genuine containment on low-entropy text. */
   def gramHashesJvm(text: String): Array[Long] = {
     val k = GramK
     if (text == null || text.length < k) return Array.empty
@@ -158,7 +162,8 @@ object ContainmentJoin {
       buf(i) = mix64(h)
       i += 1
     }
-    graft.functions.AudioPcm.sortedDistinct(buf, n)
+    java.util.Arrays.sort(buf)
+    buf
   }
 
   /** UDFs shared by the batch and incremental verify paths. */
@@ -169,7 +174,8 @@ object ContainmentJoin {
   val lcrUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((x: String, y: String) => longestCommonRunJvm(x, y))
 
-  /** Count of shared values between two sorted long arrays (merge pass). */
+  /** Multiset intersection size of two sorted long arrays (merge pass):
+    * sum over values of min(multiplicity in a, multiplicity in b). */
   def sharedSortedJvm(a: Array[Long], b: Array[Long]): Int = {
     if (a == null || b == null) return 0
     var i = 0; var j = 0; var c = 0
@@ -184,9 +190,11 @@ object ContainmentJoin {
   /** Verified containment pairs (a < b, shared run >= cfg.containmentMinRun).
     *
     * Three-tier verify: shared-fingerprint candidates -> shared-gram-count
-    * prefilter (a true >= minRun run REQUIRES >= w shared distinct grams;
-    * near-miss boilerplate prefixes shorter than minRun fail here without
-    * ever running the DP) -> exact longest-common-run DP on survivors only.
+    * prefilter (a true >= minRun run REQUIRES multiset gram intersection
+    * >= w — counted WITH multiplicity so repetitive/low-entropy runs are not
+    * rejected; near-miss boilerplate prefixes shorter than minRun fail here
+    * without ever running the DP) -> exact longest-common-run DP on
+    * survivors only.
     */
   def pairs(df: DataFrame, idCol: String, textCol: String, cfg: DedupConfig): DataFrame =
     pairsFromFps(fingerprintsFast(df, idCol, textCol, cfg.containmentMinRun),

@@ -38,6 +38,25 @@ object LshCandidates {
       .select(col(idCol), col("_bk.band").as("band"), col("_bk.bandVal").as("bandVal"))
   }
 
+  /** (id, sig) -> (id, band, bandVal: Long) — the PIPELINE-path band key:
+    * xxhash64 of the in-band minima tuple instead of a comma-joined string.
+    * The string form shuffles rows x bands ~40+ byte keys (real shuffle mass
+    * at 10^12 x 32 exploded rows); the hashed form shuffles 8 bytes. A
+    * 64-bit birthday collision merely merges two buckets within one band —
+    * every emitted candidate still passes the exact verify stage, so
+    * collisions cost a few false candidates, never a false dup. The string
+    * form stays for the ORACLE queries, where DuckDB must rebuild buckets
+    * bit-identically. */
+  def bandKeysHashed(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val r = rowsPerBand
+    sigs.select(
+      col(idCol),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bandVal")))).as("_bk"))
+      .select(col(idCol), col("_bk.band").as("band"), col("_bk.bandVal").as("bandVal"))
+  }
+
   def candidatePairs(sigs: DataFrame, idCol: String, cfg: DedupConfig): (DataFrame, DataFrame) =
     candidatePairs(sigs, idCol, cfg.bands, cfg.rowsPerBand, cfg.maxBucketSize)
 
@@ -56,7 +75,7 @@ object LshCandidates {
   def fusedCandidatePairs(modalities: Seq[(String, DataFrame, Int, Int)],
                           idCol: String, maxBucketSize: Int): (DataFrame, DataFrame) = {
     val keys = modalities.map { case (tag, sigs, bands, rows) =>
-      bandKeys(sigs, idCol, bands, rows).select(
+      bandKeysHashed(sigs, idCol, bands, rows).select(
         col(idCol), lit(tag).as("modality"), col("band"), col("bandVal"))
     }.reduce(_ unionByName _)
     val sizes = keys.groupBy("modality", "band", "bandVal")

@@ -126,12 +126,13 @@ object PairVerifier {
                  minCorr: Double): DataFrame = {
     val corrUdf = udf((x: Array[Byte], y: Array[Byte]) => pcmCorrJvm(x, y))
     // Shrink the byte-heavy clip table to only the ids that appear in a
-    // candidate pair BEFORE the pair joins (broadcast semi-join: the full
-    // clip table is never shuffled — at corpus scale the pair set is tiny
-    // relative to the corpus, so this is the difference between shuffling
-    // O(|pairs|) bytes and O(|corpus|) bytes, twice).
+    // candidate pair BEFORE the pair joins: the difference between shuffling
+    // O(|pairs|) bytes and O(|corpus|) bytes, twice. left_semi WITHOUT a
+    // forced broadcast — the pair-endpoint set is unbounded (billions of rows
+    // at 10^12-clip scale would OOM the driver); AQE picks broadcast when the
+    // set is actually small.
     val ids = pairs.select(col("a").as(idCol)).union(pairs.select(col("b").as(idCol))).distinct()
-    val needed = clips.join(broadcast(ids), idCol)
+    val needed = clips.join(ids, Seq(idCol), "left_semi")
     val ca = needed.select(col(idCol).as("a"), col("bytes").as("_ba"), col("sr_hz").as("_sra"))
     val cb = needed.select(col(idCol).as("b"), col("bytes").as("_bb"), col("sr_hz").as("_srb"))
     pairs.join(ca, "a").join(cb, "b")
@@ -151,6 +152,11 @@ object PairVerifier {
   def capPairs(pairs: DataFrame, maxPairs: Long): (DataFrame, Long) = {
     val n = pairs.count()
     if (n <= maxPairs) (pairs, 0L)
-    else (pairs.orderBy(desc("score"), col("a"), col("b")).limit(maxPairs.toInt), n - maxPairs)
+    else {
+      // limit() takes an Int; clamp instead of silently wrapping for caps
+      // configured above 2^31 (the count() above reports the true drop).
+      val keep = math.min(maxPairs, Int.MaxValue.toLong).toInt
+      (pairs.orderBy(desc("score"), col("a"), col("b")).limit(keep), n - keep)
+    }
   }
 }

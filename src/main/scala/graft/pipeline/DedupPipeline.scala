@@ -50,7 +50,12 @@ object DedupPipeline {
     clips.select(
       col("clip_id"),
       sha2(col("bytes"), 256).as("sha"),
-      xxhash64(col("transcript")).as("tHashExact"),
+      // 256-bit transcript identity: exact edges bypass verification and CC
+      // propagates them, so a 64-bit key's birthday collisions (~10^4 false
+      // cluster merges at 10^12 rows) are not acceptable; NULL for empty
+      // transcripts — an absent transcription is not shared content.
+      when(length(col("transcript")) > 0, sha2(col("transcript"), 256))
+        .as("tHashExact"),
       tsh.as("tshingles"),
       twsh.as("twshingles"),
       AudioPcm.audioShingles(spark, col("bytes"), col("sr_hz"),
@@ -82,10 +87,12 @@ object DedupPipeline {
     //     star edges to the min id per group (linear, CC closes the group).
     val exactEdges = {
       // both identity keys (content sha + transcript hash) in ONE tagged key
-      // space: one groupBy + one join instead of two of each
-      val g = sigs.select(col("clip_id"), explode(array(
+      // space: one groupBy + one join instead of two of each. tHashExact is
+      // NULL for empty transcripts, so concat yields NULL and the filter
+      // drops the key — untranscribed clips never collapse into one cluster.
+      val g = sigs.select(col("clip_id"), explode(filter(array(
         concat(lit("s:"), col("sha")),
-        concat(lit("t:"), col("tHashExact").cast("string")))).as("k"))
+        concat(lit("t:"), col("tHashExact"))), k => k.isNotNull)).as("k"))
       val heads = g.groupBy("k").agg(min("clip_id").as("a"), count(lit(1)).as("n"))
         .filter(col("n") > 1)
       g.join(heads, "k").filter(col("clip_id") =!= col("a"))
@@ -143,19 +150,21 @@ object DedupPipeline {
       metrics += StageMetric("candidates_audio_dropped_buckets", "rows",
         droppedCounts.getOrElse("audio", 0L))
       metrics += StageMetric("dup_pairs", "rows", dupPairs.count())
-      cachedClips.unpersist() // dupPairs materialized; bytes no longer needed
     }
 
     // global max-pairs safety valve (reference's rising-floor cap,
     // utils/util.py:174-220) — NEVER silent: dropped count goes to metrics.
-    // Applied on the metrics path only; the cap exists to bound a pathological
-    // blow-up, which the dropped-bucket guards should have caught first.
+    // Applied UNCONDITIONALLY (a metrics-off run must produce the same pairs
+    // as a metrics-on run); the cap's count() doubles as the action that
+    // materializes the persisted dupPairs in one job.
     val cappedPairs =
-      if (cfg.collectMetrics && cfg.maxPairs > 0) {
+      if (cfg.maxPairs > 0) {
         val (capped, nDropped) = PairVerifier.capPairs(dupPairs, cfg.maxPairs)
-        if (nDropped > 0) metrics += StageMetric("dup_pairs_dropped_by_cap", "rows", nDropped)
+        if (nDropped > 0 && cfg.collectMetrics)
+          metrics += StageMetric("dup_pairs_dropped_by_cap", "rows", nDropped)
         capped
       } else dupPairs
+    cachedClips.unpersist() // dupPairs materialized; bytes no longer needed
 
     val clusters = ConnectedComponents.clusters(cappedPairs, cfg.minClusterSize)
     PipelineResult(sigs, cappedPairs, clusters, metrics.toSeq)

@@ -66,13 +66,20 @@ object IncrementalDedup {
     val prevClips = store.clips.read(spark)
 
     // ---- 1. change detection (J8): content hash diff on the key ----
+    // Same 256-bit transcript identity as the batch signature pass (NULL for
+    // empty transcripts), compared null-safely. A match against a TOMBSTONED
+    // row classifies as 'changed': re-ingesting previously deleted content
+    // must resurrect it (re-signed with is_deleted=false), not silently no-op.
     val incKeys = incoming.select(col("clip_id"),
-      sha2(col("bytes"), 256).as("_sha"), xxhash64(col("transcript")).as("_th"))
-    val existingKeys = prevSigs.select(col("clip_id"), col("sha"), col("tHashExact"))
+      sha2(col("bytes"), 256).as("_sha"),
+      when(length(col("transcript")) > 0, sha2(col("transcript"), 256)).as("_th"))
+    val existingKeys = prevSigs.select(
+      col("clip_id"), col("sha"), col("tHashExact"), col("is_deleted").as("_tomb"))
     val classified = incKeys.join(existingKeys, Seq("clip_id"), "left")
       .select(col("clip_id"),
         when(col("sha").isNull, "new")
-          .when(col("sha") =!= col("_sha") || col("tHashExact") =!= col("_th"), "changed")
+          .when(col("_tomb") ||
+            !(col("sha") <=> col("_sha")) || !(col("tHashExact") <=> col("_th")), "changed")
           .otherwise("unchanged").as("kind"))
       .persist(MEMORY_AND_DISK)
     val deltaIds = classified.filter(col("kind") =!= "unchanged").select("clip_id")
@@ -105,10 +112,10 @@ object IncrementalDedup {
 
     // ---- 4. candidates: delta vs all-active, same LSH bands ----
     def bandJoin(sigCol: String, bands: Int, rows: Int): DataFrame = {
-      val all = LshCandidates.bandKeys(
+      val all = LshCandidates.bandKeysHashed(
         activeSigs.filter(col(sigCol).isNotNull).select(col("clip_id"), col(sigCol).as("sig")),
         "clip_id", bands, rows)
-      val delta = LshCandidates.bandKeys(
+      val delta = LshCandidates.bandKeysHashed(
         activeDelta.filter(col(sigCol).isNotNull).select(col("clip_id"), col(sigCol).as("sig")),
         "clip_id", bands, rows)
       // bucket-size guard on the full side (same skew story as the batch path)

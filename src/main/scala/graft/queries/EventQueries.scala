@@ -19,9 +19,11 @@ object EventQueries {
       val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables.events(spark, dir)
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        // microsecond-exact gap test (unix_timestamp truncates to seconds,
+        // which can disagree with a fractional-second oracle at the boundary)
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > GapSeconds, 1L)
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > GapSeconds * 1000000L, 1L)
             .otherwise(0L))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
@@ -34,10 +36,10 @@ object EventQueries {
       |), f AS (
       |  SELECT user_id,
       |         CASE WHEN prev_ts IS NULL
-      |                OR epoch(ts) - epoch(prev_ts) > $GapSeconds THEN 1 ELSE 0 END AS new_sess
+      |                OR epoch_us(ts) - epoch_us(prev_ts) > ${GapSeconds}000000 THEN 1 ELSE 0 END AS new_sess
       |  FROM w
       |)
-      |SELECT user_id, count(*) AS n_events, sum(new_sess) AS n_sessions
+      |SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions
       |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   /** Exact event dedup on (user_id, event_type, ts): keep min event_id. */
@@ -54,7 +56,7 @@ object EventQueries {
       |  SELECT user_id, event_type, ts, min(event_id) AS keep_id, count(*) AS n
       |  FROM events GROUP BY user_id, event_type, ts
       |)
-      |SELECT user_id, count(*) AS n_unique, sum(n) AS n_total
+      |SELECT user_id, count(*) AS n_unique, CAST(sum(n) AS BIGINT) AS n_total
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(sessionize, eventDedup)

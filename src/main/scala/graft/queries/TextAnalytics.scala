@@ -59,7 +59,7 @@ object TextAnalytics {
           max(col("n_chars")).cast("long").as("max_chars"),
           percentile(col("n_chars"), lit(0.5)).as("median_chars"))
         .orderBy("lang"),
-    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
       |       median(n_chars) AS median_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))

@@ -103,6 +103,45 @@ class IncrementalSpec extends SparkSpec {
     assert(p.filter(col("a") === victim || col("b") === victim).count() == 0)
   }
 
+  test("delete then re-insert identical content resurrects the clip") {
+    val store = freshStore()
+    IncrementalDedup.initialize(spark, clipsRange(0, 100), cfg, store)
+    val victim = store.clusters.read(spark)
+      .groupBy("component").agg(count(lit(1)).as("n"), max("clip_id").as("m"))
+      .filter(col("n") >= 2).orderBy("component")
+      .select("m").as[String].head()
+    IncrementalDedup.merge(spark, clipsRange(0, 0), cfg, store,
+      deleteIds = Seq(victim).toDF("clip_id"))
+    assert(store.clusters.read(spark).filter(col("clip_id") === victim).count() == 0)
+    // re-insert the SAME content: must not be classified 'unchanged' against
+    // the tombstone — the clip resurrects, active and re-clustered
+    val victimIdx = victim.stripPrefix("clip_").toLong
+    IncrementalDedup.merge(spark, clipsRange(victimIdx, victimIdx + 1), cfg, store)
+    val sigRow = store.signatures.read(spark).filter(col("clip_id") === victim)
+    assert(sigRow.count() == 1 && !sigRow.select("is_deleted").as[Boolean].head(),
+      "re-inserted clip must be active")
+    val comp = store.clusters.read(spark).filter(col("clip_id") === victim)
+    assert(comp.count() == 1, "re-inserted clip must be assigned a component")
+    val compId = comp.select("component").as[String].head()
+    assert(store.clusters.read(spark).filter(col("component") === compId).count() >= 2,
+      "re-inserted clip must rejoin its duplicate cluster")
+  }
+
+  test("empty transcripts never form exact-dup edges with each other") {
+    val base = clipsRange(0, 6).collect()
+    val rows = base.zipWithIndex.map { case (r, i) =>
+      // append a distinct byte so no two rows share audio content either
+      sources.Clip(f"clip_e$i%04d", r.getAs[Array[Byte]]("bytes") :+ i.toByte,
+        r.getAs[Int]("sr_hz"), r.getAs[Int]("dur_ms"), r.getAs[String]("codec"), "")
+    }.toSeq
+    val res = DedupPipeline.run(spark, rows.toDF(), cfg)
+    // distinct audio + empty transcripts: the t: identity key must not fire
+    val exact = res.dupPairs.filter(col("method") === "exact").count()
+    assert(exact == 0, s"$exact exact edges among untranscribed clips")
+    assert(res.signatures.filter(col("tHashExact").isNull).count() == 6)
+    res.signatures.unpersist(); res.dupPairs.unpersist()
+  }
+
   test("snapshot history records lineage (operation per commit)") {
     val store = freshStore()
     IncrementalDedup.initialize(spark, clipsRange(0, 50), cfg, store)

@@ -69,4 +69,27 @@ class OperatorSpec extends SparkSpec {
       assert(ContainmentJoin.sharedSortedJvm(ga, gb) >= w)
     }
   }
+
+  test("gram prefilter survives repetitive (low-entropy) shared runs") {
+    val rng = new graft.sources.ClipCorpus.Rng(7L)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val w = 70 - ContainmentJoin.GramK + 1
+    // shared run with period 3 << w: few DISTINCT grams, but the multiset
+    // intersection still counts every occurrence — a distinct-set prefilter
+    // would reject exactly this boilerplate-padding case
+    Seq("abc" * 30, "=" * 90, "na " * 35).foreach { shared =>
+      val a = randText(100) + shared + randText(100)
+      val b = randText(100) + shared + randText(100)
+      val ga = ContainmentJoin.gramHashesJvm(a)
+      val gb = ContainmentJoin.gramHashesJvm(b)
+      assert(ContainmentJoin.sharedSortedJvm(ga, gb) >= w,
+        s"prefilter rejected a real repetitive run (${shared.take(6)}...)")
+      // winnowing still selects a shared fingerprint on both sides
+      val fa = ContainmentJoin.fingerprintsJvm(a, 70).toSet
+      val fb = ContainmentJoin.fingerprintsJvm(b, 70).toSet
+      assert(fa.intersect(fb).nonEmpty)
+      assert(ContainmentJoin.longestCommonRunJvm(a, b) >= 70)
+    }
+  }
 }
