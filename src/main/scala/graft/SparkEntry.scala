@@ -26,7 +26,7 @@ object SparkEntry {
   }
 
   val allQueries: Seq[QueryDef] =
-    TextAnalytics.all ++ TextDedup.all ++ Retrieval.all ++
+    TextAnalytics.all ++ TextDedup.all ++ Retrieval.all ++ RetrievalEval.all ++
       EmbeddingQueries.all ++ EventQueries.all ++ SimilarityFunctions.all ++
       ClipQueries.all
 

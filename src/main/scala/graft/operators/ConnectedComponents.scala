@@ -24,11 +24,27 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
+  /** Edge count at or below which the single-task union-find fast path runs
+    * (see `runLocal`). ~24 bytes/edge of hash-map state: 2M edges ≈ 100 MB in
+    * one task — far below executor memory, far above any bench/test graph. */
+  val LocalEdgeThreshold = 2000000L
+
   /**
    * @param edges DataFrame with long/string columns (a, b)
+   * @param nEdgesHint known edge count (e.g. from the pipeline's pair-cap
+   *   action), or -1. When the graph is SMALL (<= LocalEdgeThreshold) and
+   *   string-keyed, dispatches to a one-task union-find instead of paying
+   *   O(log n) driver-synchronized join rounds — the same adaptive move AQE
+   *   makes for broadcast joins (dup graphs are tiny relative to their
+   *   corpus; the iterative path remains the 10^12-scale route and is what
+   *   the hint > threshold case uses).
    * @return (node, component) where component = min node id reachable
    */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50, nEdgesHint: Long = -1L): DataFrame = {
+    if (nEdgesHint >= 0 && nEdgesHint <= LocalEdgeThreshold &&
+        edges.schema("a").dataType == org.apache.spark.sql.types.StringType &&
+        edges.schema("b").dataType == org.apache.spark.sql.types.StringType)
+      return runLocal(edges)
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -76,13 +92,45 @@ object ConnectedComponents {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Single-task union-find over a gathered edge partition — executor-side
+    * (never collect()ed to the driver), min-id representative with path
+    * compression, identical output to the iterative path (MinHashSpec-style
+    * equality pinned in OperatorSpec). */
+  private def runLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("a").cast("string"), col("b").cast("string"))
+      .as[(String, String)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val nodes = scala.collection.mutable.HashSet.empty[String]
+        it.foreach { case (a, b) =>
+          nodes += a; nodes += b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        nodes.iterator.map(n => (n, find(n)))
+      }
+      .toDF("node", "component")
+  }
+
   /** Clusters with at least minSize members; component id = min member id.
     * Sizes via groupBy + join, NOT a window over component: a partitioned
     * window lands an entire mega-component (boilerplate-driven giant
     * clusters) on one task and AQE does not split skewed window partitions;
     * the aggregation partial-combines map-side and the equi-join AQE-splits. */
-  def clusters(edges: DataFrame, minSize: Int): DataFrame = {
-    val assign = run(edges)
+  def clusters(edges: DataFrame, minSize: Int, nEdgesHint: Long = -1L): DataFrame = {
+    val assign = run(edges, nEdgesHint = nEdgesHint)
     val sizes = assign.groupBy("component").agg(count(lit(1)).as("clusterSize"))
       .filter(col("clusterSize") >= minSize)
     assign.join(sizes, "component")

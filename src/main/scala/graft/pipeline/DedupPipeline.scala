@@ -140,6 +140,9 @@ object DedupPipeline {
       .unionByName(textPairs).unionByName(audioPairs).unionByName(containPairs)
       .dropDuplicates("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE count materializes every branch in a single job; the count feeds
+    // the metrics row, the pair cap, and the CC small-graph dispatch hint.
+    val nPairs = dupPairs.count()
     if (cfg.collectMetrics) {
       // one job for both dropped-bucket counters (never silent, never serial)
       val droppedCounts = dropped.select(col("modality").as("m"))
@@ -149,24 +152,24 @@ object DedupPipeline {
         droppedCounts.getOrElse("text", 0L))
       metrics += StageMetric("candidates_audio_dropped_buckets", "rows",
         droppedCounts.getOrElse("audio", 0L))
-      metrics += StageMetric("dup_pairs", "rows", dupPairs.count())
+      metrics += StageMetric("dup_pairs", "rows", nPairs)
     }
 
     // global max-pairs safety valve (reference's rising-floor cap,
     // utils/util.py:174-220) — NEVER silent: dropped count goes to metrics.
     // Applied UNCONDITIONALLY (a metrics-off run must produce the same pairs
-    // as a metrics-on run); the cap's count() doubles as the action that
-    // materializes the persisted dupPairs in one job.
+    // as a metrics-on run).
+    val nKept = if (cfg.maxPairs > 0) math.min(nPairs, cfg.maxPairs) else nPairs
     val cappedPairs =
-      if (cfg.maxPairs > 0) {
-        val (capped, nDropped) = PairVerifier.capPairs(dupPairs, cfg.maxPairs)
-        if (nDropped > 0 && cfg.collectMetrics)
-          metrics += StageMetric("dup_pairs_dropped_by_cap", "rows", nDropped)
-        capped
+      if (cfg.maxPairs > 0 && nPairs > cfg.maxPairs) {
+        if (cfg.collectMetrics)
+          metrics += StageMetric("dup_pairs_dropped_by_cap", "rows", nPairs - nKept)
+        val keep = math.min(cfg.maxPairs, Int.MaxValue.toLong).toInt
+        dupPairs.orderBy(desc("score"), col("a"), col("b")).limit(keep)
       } else dupPairs
     cachedClips.unpersist() // dupPairs materialized; bytes no longer needed
 
-    val clusters = ConnectedComponents.clusters(cappedPairs, cfg.minClusterSize)
+    val clusters = ConnectedComponents.clusters(cappedPairs, cfg.minClusterSize, nKept)
     PipelineResult(sigs, cappedPairs, clusters, metrics.toSeq)
   }
 }

@@ -6,12 +6,13 @@ import graft.sources.LakeTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The engine's persistent state: Iceberg-shaped tables (LakeTable shim). */
-final class DedupStore(val root: String) {
-  val clips = LakeTable(root, "clips")           // input rows + is_deleted
-  val signatures = LakeTable(root, "signatures") // per-clip sketches + is_deleted
-  val dupPairs = LakeTable(root, "dup_pairs")    // verified edges (a, b, score, method)
-  val clusters = LakeTable(root, "clusters")     // clip_id -> component (min member id)
+/** The engine's persistent state: Iceberg-shaped tables (LakeTable shim),
+  * hash-bucketed by their key so merges rewrite only touched buckets. */
+final class DedupStore(val root: String, val numBuckets: Int = 32) {
+  val clips = new LakeTable(root, "clips", "clip_id", numBuckets)
+  val signatures = new LakeTable(root, "signatures", "clip_id", numBuckets)
+  val dupPairs = new LakeTable(root, "dup_pairs", "a", numBuckets)
+  val clusters = new LakeTable(root, "clusters", "clip_id", numBuckets)
 }
 
 /**
@@ -212,7 +213,8 @@ object IncrementalDedup {
     val subEdges = mergedPairs
       .join(affectedNodes.withColumnRenamed("clip_id", "a"), Seq("a"))
       .select("a", "b")
-    val repaired = ConnectedComponents.run(subEdges)
+      .persist(MEMORY_AND_DISK)
+    val repaired = ConnectedComponents.run(subEdges, nEdgesHint = subEdges.count())
       .select(col("node").as("clip_id"), col("component"))
     val activeIds = activeSigs.select(col("clip_id"))
     val newAssign = activeIds
@@ -226,13 +228,74 @@ object IncrementalDedup {
           col("clip_id")).as("component"))
 
     // ---- 7. commit (snapshot isolation: readers flip atomically) ----
+    // O(delta) I/O: only buckets containing a changed/deleted id are read
+    // (bucket-pruned) and rewritten; every untouched bucket's files are
+    // reused by the new snapshot via the manifest. Compute above is already
+    // O(delta); without this, every merge rewrote the full corpus — the
+    // scale-killer for "new clips dedup without full recompute" at 10^12.
     val nDelta = deltaClips.count()
-    store.clips.commit(mergedClips, "merge", Map("delta_rows" -> nDelta))
-    store.signatures.commit(sigsWithTombstones, "merge", Map("delta_rows" -> nDelta))
-    store.dupPairs.commit(mergedPairs, "merge", Map("new_pairs" -> newPairs.count()))
-    store.clusters.commit(newAssign, "merge")
+    val touchedIds = deltaIds.union(deletes)
+    val touchedIdBuckets = touchedIds
+      .select(store.signatures.bucketOf.cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    def applyDeletes(df: DataFrame): DataFrame = df
+      .join(deletes.withColumn("_del", lit(true)), Seq("clip_id"), "left")
+      .withColumn("is_deleted", col("is_deleted") || coalesce(col("_del"), lit(false)))
+      .drop("_del")
+    val touchedClips = applyDeletes(
+      store.clips.readBuckets(spark, touchedIdBuckets)
+        .join(deltaIds, Seq("clip_id"), "left_anti")
+        .unionByName(deltaClips.withColumn("is_deleted", lit(false))))
+    store.clips.commitDelta(touchedClips, touchedIdBuckets, "merge",
+      Map("delta_rows" -> nDelta))
+    val touchedSigs = applyDeletes(
+      store.signatures.readBuckets(spark, touchedIdBuckets)
+        .join(deltaIds, Seq("clip_id"), "left_anti")
+        .unionByName(deltaSigs.withColumn("is_deleted", lit(false))))
+    store.signatures.commitDelta(touchedSigs, touchedIdBuckets, "merge",
+      Map("delta_rows" -> nDelta))
 
-    Seq(deletes, classified, deltaClips, audioScreened, mergedPairs, affectedNodes)
-      .foreach(_.unpersist())
+    val nNew = newPairs.count()
+    val invalidA = invalid.withColumnRenamed("clip_id", "a")
+    val invalidB = invalid.withColumnRenamed("clip_id", "b")
+    // pairs bucket on `a`; an edge dies if EITHER endpoint is invalid, so the
+    // touched set is the a-buckets of removed edges plus new edges' a-buckets
+    val removedA = prevPairs.join(invalidA, Seq("a"), "left_semi").select("a")
+      .union(prevPairs.join(invalidB, Seq("b"), "left_semi").select("a"))
+    val touchedPairBuckets = removedA.union(newPairs.select("a"))
+      .select(store.dupPairs.bucketOf.cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val touchedPairs = store.dupPairs.readBuckets(spark, touchedPairBuckets)
+      .join(invalidA, Seq("a"), "left_anti")
+      .join(invalidB, Seq("b"), "left_anti")
+      .unionByName(newPairs)
+      .dropDuplicates("a", "b")
+    store.dupPairs.commitDelta(touchedPairs, touchedPairBuckets, "merge",
+      Map("new_pairs" -> nNew))
+
+    // untouched nodes keep rows identical to the previous snapshot, so only
+    // buckets holding an affected/new/deleted id need rewriting
+    val clusterTouched = affectedNodes.select("clip_id").union(touchedIds)
+      .select(store.clusters.bucketOf.cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    store.clusters.commitDelta(newAssign, clusterTouched, "merge")
+
+    Seq(deletes, classified, deltaClips, audioScreened, mergedPairs, affectedNodes,
+      subEdges).foreach(_.unpersist())
+  }
+
+  /** Physical cleanup — the reference v3 `cleanup` mode
+    * (incremental_faiss_detector.py:775-810): tombstoned rows are dropped
+    * from clips/signatures (they are already absent from pairs/clusters),
+    * then all but the newest `retain` snapshots of every table are expired
+    * and their unreferenced data files deleted. Without this a long-running
+    * store grows without bound in both data and snapshot count. */
+  def compact(spark: SparkSession, store: DedupStore, retain: Int = 1): Unit = {
+    store.clips.commit(
+      store.clips.read(spark).filter(!col("is_deleted")), "compact")
+    store.signatures.commit(
+      store.signatures.read(spark).filter(!col("is_deleted")), "compact")
+    Seq(store.clips, store.signatures, store.dupPairs, store.clusters)
+      .foreach(_.expireSnapshots(retain))
   }
 }

@@ -86,5 +86,27 @@ object ClipQueries {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(clusters, dupPairs, signatures, incremental)
+  /** Read-only query-by-example top-k search against a committed store
+    * (reference improved_faiss_detector.py:522-556). Rows-only check here;
+    * exactness (rank-1 originals, no false matches, no store mutation) is
+    * pinned by SearchSpec. */
+  val search = QueryDef(
+    "clip_search",
+    (spark, dir) => {
+      import graft.pipeline.{ClipSearch, DedupStore, IncrementalDedup}
+      val n = math.min(clipCount(dir), 2000L)
+      val ccfg = CorpusConfig(seed = 42L, n = n)
+      val store = new DedupStore(
+        java.nio.file.Files.createTempDirectory("graft-searchq").toString)
+      val clips = ClipCorpus.clips(spark, ccfg).toDF()
+      IncrementalDedup.initialize(spark, clips, DedupConfig.default, store)
+      val probes = clips.filter(col("clip_id") < f"clip_${50}%08d")
+        .withColumn("clip_id", concat(lit("probe_"), col("clip_id")))
+      ClipSearch.search(spark, probes, store, DedupConfig.default, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("probe_id", "rank")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(clusters, dupPairs, signatures, incremental, search)
 }

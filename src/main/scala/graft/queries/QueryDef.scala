@@ -22,6 +22,9 @@ object Tables {
 
   /** Normalized text: lowercase, collapsed whitespace, trimmed. */
   val NormSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+  /** Same normalization over an arbitrary SQL expression. */
+  def normSqlOf(expr: String): String =
+    s"""trim(regexp_replace(lower($expr), '\\s+', ' ', 'g'))"""
 
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._

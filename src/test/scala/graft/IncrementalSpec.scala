@@ -142,6 +142,55 @@ class IncrementalSpec extends SparkSpec {
     res.signatures.unpersist(); res.dupPairs.unpersist()
   }
 
+  test("merge rewrites only touched buckets (O(delta) commit I/O)") {
+    val store = freshStore()
+    IncrementalDedup.initialize(spark, clipsRange(0, 200), cfg, store)
+    val m0 = store.signatures.bucketMap(0)
+    IncrementalDedup.merge(spark, clipsRange(200, 205), cfg, store)
+    val m1 = store.signatures.bucketMap(1)
+    // 5 delta ids touch at most 5 of 32 buckets; every other bucket's files
+    // are REUSED from v0 (copy-on-write manifest), not rewritten
+    val reused = m1.count { case (b, p) => m0.get(b).contains(p) }
+    assert(reused >= m1.size - 5, s"only $reused/${m1.size} buckets reused")
+    assert(m1.exists { case (b, p) => !m0.get(b).contains(p) }, "no bucket rewritten")
+    // merged table is still complete and correct
+    assert(store.signatures.read(spark).count() == 205)
+    def dirBytes(p: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    }
+    val root = java.nio.file.Paths.get(store.root, "signatures/data")
+    val v0Bytes = dirBytes(root.resolve("v0").toString)
+    val v1Bytes = dirBytes(root.resolve("v1").toString)
+    assert(v1Bytes * 3 < v0Bytes,
+      s"merge wrote $v1Bytes bytes vs $v0Bytes full — not O(delta)")
+  }
+
+  test("compact drops tombstones physically and expires old snapshots") {
+    val store = freshStore()
+    IncrementalDedup.initialize(spark, clipsRange(0, 100), cfg, store)
+    val victim = "clip_00000042"
+    IncrementalDedup.merge(spark, clipsRange(0, 0), cfg, store,
+      deleteIds = Seq(victim).toDF("clip_id"))
+    assert(store.signatures.read(spark)
+      .filter(col("clip_id") === victim && col("is_deleted")).count() == 1)
+    IncrementalDedup.compact(spark, store)
+    // physically gone, not just flagged
+    val sigs = store.signatures.read(spark)
+    assert(sigs.filter(col("clip_id") === victim).count() == 0)
+    assert(sigs.filter(col("is_deleted")).count() == 0)
+    assert(sigs.count() == 99)
+    // snapshot count bounded: only the newest snapshot remains per table
+    assert(store.signatures.versions.size == 1)
+    assert(store.clips.versions.size == 1)
+    // post-compaction the store still merges correctly: re-insert resurrects
+    IncrementalDedup.merge(spark, clipsRange(42, 43), cfg, store)
+    val back = store.signatures.read(spark).filter(col("clip_id") === victim)
+    assert(back.count() == 1 && !back.select("is_deleted").as[Boolean].head())
+  }
+
   test("snapshot history records lineage (operation per commit)") {
     val store = freshStore()
     IncrementalDedup.initialize(spark, clipsRange(0, 50), cfg, store)

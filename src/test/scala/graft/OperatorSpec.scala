@@ -70,6 +70,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("small-graph union-find CC equals iterative label propagation") {
+    val rng = new graft.sources.ClipCorpus.Rng(11L)
+    val edges = (0 until 400).map { _ =>
+      val a = f"n${rng.nextInt(200)}%03d"; val b = f"n${rng.nextInt(200)}%03d"
+      (a, b)
+    }.filter(p => p._1 != p._2).toDF("a", "b")
+    val iterative = graft.operators.ConnectedComponents.run(edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val local = graft.operators.ConnectedComponents.run(edges, nEdgesHint = 400L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(local == iterative)
+    assert(local.nonEmpty)
+  }
+
   test("gram prefilter survives repetitive (low-entropy) shared runs") {
     val rng = new graft.sources.ClipCorpus.Rng(7L)
     def randText(n: Int): String =
