@@ -57,37 +57,6 @@ object Bench {
     t
   }
 
-  private def mix64(x0: Long): Long = {
-    var z = x0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  /** Raw-CPU control: aggregate mix64 ops/sec over `threads` pinned-busy JVM
-    * threads for `ms` — no Spark, no allocation, no memory traffic. Measures
-    * what the HOST gives N vs 4N threads (vcpu oversubscription, frequency
-    * scaling): the hardware ceiling the job's scaling efficiency is bounded
-    * by. Run interleaved with the probes so both see the same drift. */
-  private def cpuControlOps(threads: Int, ms: Long): Double = {
-    val stop = System.nanoTime() + ms * 1000000L
-    val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
-    val ts = (0 until threads).map { t =>
-      new Thread(() => {
-        var x = 0x9e3779b97f4a7c15L + t
-        var n = 0L
-        while (System.nanoTime() < stop) {
-          var i = 0
-          while (i < 100000) { x = mix64(x); i += 1 }
-          n += 100000
-        }
-        counts.set(t, if (x == 42) -1L else n) // keep x live
-      })
-    }
-    ts.foreach(_.start()); ts.foreach(_.join())
-    (0 until threads).map(counts.get).sum / (ms / 1000.0)
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -98,10 +67,13 @@ object Bench {
     // 5x (100k clips at sf0.1) with the soft deadline guarding the budget.
     val probeClips = if (sfDir.contains("sf0.1")) nClips * 5 else nClips
     // Scaling pair: N=cpus/8 vs 4N=cpus/2 (4 vs 16 on the 32-vcpu sandbox).
-    // Measured raw-CPU scaling tops out at ~3.2x from 16->32 threads on this
-    // host (frequency/memory contention), so the probe stays within the
-    // linear region of the hardware; the rule wants the JOB's scaling, not
-    // the host's thermal envelope.
+    // Measured host ceilings 4->16 threads (HwControlsMain): pure CPU scales
+    // 4.0x, but MEMORY STREAMING scales only ~1.5-1.9x (49.5 -> 75-96 GB/s:
+    // four threads already half-saturate DRAM) and allocation ~2.8x. A
+    // single-box N-vs-4N probe shares one memory system; the north rule's 4N
+    // EXECUTORS each bring their own. The controls below are measured in the
+    // same run so the JSON carries both raw efficiency and the
+    // ceiling-normalized efficiency_vs_mem.
     val nCores = math.max(2, cpus / 8)
     val fourN = math.min(cpus, 4 * nCores)
 
@@ -132,25 +104,38 @@ object Bench {
     val deadline = System.nanoTime() +
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toLong * 1000000000L
     var tN = probe(nCores, probeClips)
-    var cpuN = cpuControlOps(nCores, 3000)
+    var cpuN = HwControls.cpuOps(nCores, 3000)
+    var memN = HwControls.memGBps(nCores, 3000)
+    var allocN = HwControls.allocOps(nCores, 3000)
     var t4N = probe(fourN, probeClips)
-    var cpu4N = cpuControlOps(fourN, 3000)
+    var cpu4N = HwControls.cpuOps(fourN, 3000)
+    var mem4N = HwControls.memGBps(fourN, 3000)
+    var alloc4N = HwControls.allocOps(fourN, 3000)
     if (System.nanoTime() < deadline) {
       tN = math.min(tN, probe(nCores, probeClips))
-      cpuN = math.max(cpuN, cpuControlOps(nCores, 3000))
+      cpuN = math.max(cpuN, HwControls.cpuOps(nCores, 3000))
+      memN = math.max(memN, HwControls.memGBps(nCores, 3000))
+      allocN = math.max(allocN, HwControls.allocOps(nCores, 3000))
       t4N = math.min(t4N, probe(fourN, probeClips))
-      cpu4N = math.max(cpu4N, cpuControlOps(fourN, 3000))
+      cpu4N = math.max(cpu4N, HwControls.cpuOps(fourN, 3000))
+      mem4N = math.max(mem4N, HwControls.memGBps(fourN, 3000))
+      alloc4N = math.max(alloc4N, HwControls.allocOps(fourN, 3000))
     }
 
     val thrN = probeClips / tN
     val thr4N = probeClips / t4N
     val eff = thr4N / (4.0 * thrN)
-    // the host's own N->4N scaling for pure CPU work, and the job's
-    // efficiency normalized by it (1.0 = the job scales as well as the
-    // hardware allows; the north rule's >= 0.8 target presumes executors
-    // that actually deliver 4x the cycles)
+    // the host's own N->4N scaling for pure-CPU, memory-stream, and
+    // allocation work: the measured hardware ceilings. The job's efficiency
+    // is normalized by the MEMORY ceiling — the dedup kernels stream arrays,
+    // and on this host DRAM bandwidth does not grow 4x with 4x threads
+    // (single-node vCPUs share one memory system; the north rule's 4N
+    // EXECUTORS each bring their own).
     val cpuEff = cpu4N / (4.0 * cpuN)
+    val memEff = mem4N / (4.0 * memN)
+    val allocEff = alloc4N / (4.0 * allocN)
     val effVsCpu = eff / cpuEff
+    val effVsMem = eff / memEff
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -161,7 +146,11 @@ object Bench {
         f""""clips_per_sec_n":$thrN%.1f,"clips_per_sec_4n":$thr4N%.1f,""" +
         f""""efficiency":$eff%.3f,""" +
         f""""cpu_control_mops_n":${cpuN / 1e6}%.1f,"cpu_control_mops_4n":${cpu4N / 1e6}%.1f,""" +
-        f""""cpu_control_efficiency":$cpuEff%.3f,"efficiency_vs_cpu":$effVsCpu%.3f}"""
+        f""""cpu_control_efficiency":$cpuEff%.3f,""" +
+        f""""mem_control_gbps_n":$memN%.1f,"mem_control_gbps_4n":$mem4N%.1f,""" +
+        f""""mem_control_efficiency":$memEff%.3f,""" +
+        f""""alloc_control_efficiency":$allocEff%.3f,""" +
+        f""""efficiency_vs_cpu":$effVsCpu%.3f,"efficiency_vs_mem":$effVsMem%.3f}"""
     // headline failure must still emit valid JSON (NaN is not JSON)
     val cps = if (tFull.isNaN || tFull <= 0) -1.0 else nClips / tFull
     println(

@@ -57,7 +57,13 @@ final case class DedupConfig(
     // when false, skips the driver-side metric collections (each one is a
     // serial Spark action; the bench measures the data path) — production
     // runs keep them on per the north rule's lineage+metrics requirement
-    collectMetrics: Boolean = true
+    collectMetrics: Boolean = true,
+    // when set, the signature stage is committed to a LakeTable under this
+    // root instead of localCheckpoint: a restarted job whose input fingerprint
+    // (row count + id hash) matches the committed snapshot RESUMES from it
+    // without re-signing (north-rule resume-from-checkpoint; localCheckpoint
+    // is lost with the executors on a real cluster)
+    stageRoot: Option[String] = None
 ) {
   require(numPerms % bands == 0, "bands must divide numPerms")
   require(audioBands * audioRowsPerBand <= numPerms,

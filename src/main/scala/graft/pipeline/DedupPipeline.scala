@@ -77,8 +77,27 @@ object DedupPipeline {
     // 100-1000 element arrays, and the columnar cache builder (per-element
     // compression) costs more than the signature computation itself;
     // checkpointing stores UnsafeRows as-is and cuts the plan lineage for
-    // every downstream branch.
-    val sigs = signatures(spark, cachedClips, cfg).localCheckpoint(eager = true)
+    // every downstream branch. With cfg.stageRoot set the stage instead
+    // commits to a LakeTable snapshot — the durable, resumable form: a
+    // restarted job with the same input fingerprint reads the committed
+    // signatures instead of re-signing the corpus.
+    val sigs = cfg.stageRoot match {
+      case None => signatures(spark, cachedClips, cfg).localCheckpoint(eager = true)
+      case Some(root) =>
+        val t = new graft.sources.LakeTable(root, "signatures_stage")
+        val fp = cachedClips.agg(count(lit(1)),
+          expr("bit_xor(xxhash64(clip_id))")).first()
+        val n = fp.getLong(0)
+        val idh = if (fp.isNullAt(1)) 0L else fp.getLong(1)
+        val resumable = t.exists && {
+          val m = t.latestMetrics
+          m.get("input_rows").contains(n) && m.get("input_idhash").contains(idh)
+        }
+        if (!resumable)
+          t.commit(signatures(spark, cachedClips, cfg), "stage",
+            Map("input_rows" -> n, "input_idhash" -> idh))
+        t.read(spark)
+    }
     if (cfg.collectMetrics)
       metrics += StageMetric("signatures", "rows", sigs.count())
 

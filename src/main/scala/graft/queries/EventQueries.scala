@@ -20,10 +20,13 @@ object EventQueries {
       Tables.events(spark, dir)
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         // microsecond-exact gap test (unix_timestamp truncates to seconds,
-        // which can disagree with a fractional-second oracle at the boundary)
+        // which can disagree with a fractional-second oracle at the boundary).
+        // cast: some sf dirs carry TIMESTAMP_NTZ — session tz is UTC, so the
+        // cast matches DuckDB's naive epoch_us exactly.
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > GapSeconds * 1000000L, 1L)
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > GapSeconds * 1000000L, 1L)
             .otherwise(0L))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))

@@ -157,6 +157,19 @@ final class LakeTable(val root: String, val name: String,
         .map(p => new String(Files.readAllBytes(p)))
     }
 
+  /** Metrics map of the latest commit manifest (lineage counters). */
+  def latestMetrics: Map[String, Long] = {
+    val v = currentVersion
+    if (v < 0) Map.empty
+    else {
+      val txt = new String(Files.readAllBytes(snapDir.resolve(s"v$v.json")))
+      val idx = txt.indexOf("\"metrics\"")
+      if (idx < 0) Map.empty
+      else """"([A-Za-z0-9_.]+)":\s*(-?\d+)""".r.findAllMatchIn(txt.substring(idx))
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+  }
+
   /** Committed versions, ascending. */
   def versions: Seq[Int] =
     if (!Files.exists(snapDir)) Seq.empty
