@@ -33,11 +33,14 @@ final case class DedupConfig(
     // weights — improved_faiss_detector.py:238-250); verify metric = exact
     // CHAR-gram jaccard (finer-grained than the LSH's word bigrams)
     textJaccardThreshold: Double = 0.6,
-    // audio LSH: r=3/b=42 over the 4-offset-stream shingles (worst-case
-    // true-pair jaccard floor 0.6 -> band collision >= 0.9999; background
-    // J ~ 0.005 -> ~5e-6 per pair).
-    audioBands: Int = 42,
-    audioRowsPerBand: Int = 3,
+    // audio LSH: r=4/b=32 over the 4-offset-stream shingles. Planted 35 dB
+    // near-dups measure J >= ~0.8 -> band collision 1-(1-0.41)^32 ~ 1-5e-8;
+    // the r=3/b=42 shape had background-J (~0.005) candidate mass growing
+    // ~quadratically with corpus size (measured 108k candidates at 100k
+    // clips, 32% jaccard-0) — r=4 cuts background collisions ~260x, which is
+    // the difference between O(pairs) and O(n^2) verify shuffle at 10^12.
+    audioBands: Int = 32,
+    audioRowsPerBand: Int = 4,
     audioJaccardThreshold: Double = 0.35,
     // signature-estimate prefilter floor: >= 3.5 sigma below the 0.35 verify
     // threshold at P=128 (sigma ~ sqrt(.35*.65/128) ~ 0.042)

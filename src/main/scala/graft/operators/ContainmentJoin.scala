@@ -211,6 +211,9 @@ object ContainmentJoin {
       .join(kept.select(col("fp"), col(idCol).as("b")), "fp")
       .filter(col("a") < col("b"))
       .select("a", "b").dropDuplicates("a", "b")
+    // NOTE: no candidate-id semi-join on txt — measured slower (the verify
+    // join broadcasts the small cands side and STREAMS txt, so the gram
+    // arrays are never shuffled; a prefilter only adds a join barrier).
     val txt = df.select(col(idCol), col(textCol), gramsUdf(col(textCol)).as("_g"))
     cands
       .join(txt.select(col(idCol).as("a"), col(textCol).as("_ta"), col("_g").as("_ga")), "a")
