@@ -103,24 +103,27 @@ object Bench {
     // whole bench inside the driver's timeout — reps already taken stand.
     val deadline = System.nanoTime() +
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toLong * 1000000000L
-    var tN = probe(nCores, probeClips)
-    var cpuN = HwControls.cpuOps(nCores, 3000)
-    var memN = HwControls.memGBps(nCores, 3000)
-    var allocN = HwControls.allocOps(nCores, 3000)
-    var t4N = probe(fourN, probeClips)
-    var cpu4N = HwControls.cpuOps(fourN, 3000)
-    var mem4N = HwControls.memGBps(fourN, 3000)
-    var alloc4N = HwControls.allocOps(fourN, 3000)
-    if (System.nanoTime() < deadline) {
-      tN = math.min(tN, probe(nCores, probeClips))
+    // as many interleaved rep PAIRS as the budget allows (>= 2): the host's
+    // speed drifts 2-3x over minutes, so each leg takes its best rep and the
+    // per-rep values are all reported for drift visibility
+    val repsN = scala.collection.mutable.ArrayBuffer[Double]()
+    val reps4N = scala.collection.mutable.ArrayBuffer[Double]()
+    var (cpuN, memN, allocN) = (0.0, 0.0, 0.0)
+    var (cpu4N, mem4N, alloc4N) = (0.0, 0.0, 0.0)
+    var rep = 0
+    while (rep < 2 || System.nanoTime() < deadline) {
+      repsN += probe(nCores, probeClips)
       cpuN = math.max(cpuN, HwControls.cpuOps(nCores, 3000))
       memN = math.max(memN, HwControls.memGBps(nCores, 3000))
       allocN = math.max(allocN, HwControls.allocOps(nCores, 3000))
-      t4N = math.min(t4N, probe(fourN, probeClips))
+      reps4N += probe(fourN, probeClips)
       cpu4N = math.max(cpu4N, HwControls.cpuOps(fourN, 3000))
       mem4N = math.max(mem4N, HwControls.memGBps(fourN, 3000))
       alloc4N = math.max(alloc4N, HwControls.allocOps(fourN, 3000))
+      rep += 1
     }
+    val tN = repsN.min
+    val t4N = reps4N.min
 
     val thrN = probeClips / tN
     val thr4N = probeClips / t4N
@@ -140,9 +143,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum + tN + t4N
+    def repJson(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val scaling =
       f"""{"n_cores":$nCores,"four_n_cores":$fourN,"clips":$probeClips,""" +
         f""""sec_n":$tN%.3f,"sec_4n":$t4N%.3f,""" +
+        s""""sec_n_reps":${repJson(repsN.toSeq)},"sec_4n_reps":${repJson(reps4N.toSeq)},""" +
         f""""clips_per_sec_n":$thrN%.1f,"clips_per_sec_4n":$thr4N%.1f,""" +
         f""""efficiency":$eff%.3f,""" +
         f""""cpu_control_mops_n":${cpuN / 1e6}%.1f,"cpu_control_mops_4n":${cpu4N / 1e6}%.1f,""" +

@@ -52,6 +52,74 @@ object TextShingles {
     sort_array(array_distinct(transform(shingles, h)))
   }
 
+  // ---- row-local fast path (pipeline; oracle queries keep the Catalyst
+  // forms above, which DuckDB can reproduce) ----
+
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private val B = 0x100000001b3L
+
+  /** Distinct sorted 31-bit char k-gram hashes in [0, P) — rolling
+    * polynomial + mix64, ONE pass, zero per-gram string allocation (the
+    * Catalyst transform+xxhash64 form allocates a UTF8String per gram and
+    * was the signature stage's top cost). MinHash-compatible range. */
+  def charGramHashes31Jvm(text: String, k: Int): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty
+    val n = text.length - k + 1
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val buf = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    buf(0) = java.lang.Math.floorMod(mix64(h), Hashing.P)
+    i = 1
+    while (i < n) {
+      h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
+      buf(i) = java.lang.Math.floorMod(mix64(h), Hashing.P)
+      i += 1
+    }
+    AudioPcm.sortedDistinct(buf, n)
+  }
+
+  /** Distinct sorted 31-bit word n-gram hashes (whitespace tokens,
+    * lowercase handled by the caller) in [0, P). */
+  def wordNgramHashes31Jvm(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) return Array.empty
+    val wh = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      var h = 0L
+      var j = 0
+      while (j < w.length) { h = h * B + w.charAt(j); j += 1 }
+      wh(i) = mix64(h)
+      i += 1
+    }
+    val out = new Array[Long](words.length - n + 1)
+    i = 0
+    while (i <= words.length - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = h * 0x9e3779b97f4a7c15L + wh(i + j); j += 1 }
+      out(i) = java.lang.Math.floorMod(mix64(h), Hashing.P)
+      i += 1
+    }
+    AudioPcm.sortedDistinct(out, out.length)
+  }
+
+  def charGramHashesUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => charGramHashes31Jvm(t, k))
+  def wordNgramHashesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => wordNgramHashes31Jvm(t, n))
+
   /** DuckDB SQL: one row per distinct char k-gram of `textExpr` in table `t`.
     * Emits `SELECT <id>, gram` rows; caller wraps/joins. */
   def charShingleSql(idExpr: String, textExpr: String, k: Int, from: String): String =

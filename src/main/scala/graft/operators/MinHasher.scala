@@ -54,6 +54,13 @@ object MinHasher {
    */
   def signatureUdf(numPerms: Int, seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val coeffs = Hashing.permCoeffs(numPerms, seed)
+    // primitive coefficient arrays (no tuple unboxing in the hot loop); mod
+    // P = 2^31-1 by Mersenne folding — two shift-adds instead of a 64-bit
+    // division. This loop runs perms x shingles times per ROW (128 x ~4000
+    // for audio): it IS the signature stage's CPU bill.
+    val as = coeffs.map(_._1)
+    val bs = coeffs.map(_._2)
+    val M = Hashing.P
     udf((hashes: Array[Long]) =>
       if (hashes == null || hashes.isEmpty) null
       else {
@@ -63,7 +70,10 @@ object MinHasher {
           val h = hashes(j)
           var i = 0
           while (i < numPerms) {
-            val v = java.lang.Math.floorMod(coeffs(i)._1 * h + coeffs(i)._2, Hashing.P)
+            val x = as(i) * h + bs(i) // h, a < 2^31 => x < 2^62, no overflow
+            var v = (x >>> 31) + (x & M)
+            v = (v >>> 31) + (v & M)
+            if (v >= M) v -= M
             if (v < sig(i)) sig(i) = v
             i += 1
           }

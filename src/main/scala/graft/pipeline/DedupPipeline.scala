@@ -39,12 +39,14 @@ object DedupPipeline {
     * explode+groupBy form would shuffle the exploded corpus for nothing.
     * MinHashSpec pins the two paths equal). */
   def signatures(spark: SparkSession, clips: DataFrame, cfg: DedupConfig): DataFrame = {
-    val tsh = TextShingles.hashShingles(
-      TextShingles.charShingles(lower(col("transcript")), cfg.charGramK), portable = false)
+    // row-local rolling-hash shingles (TextShingles.*31Jvm): same distinct
+    // k-gram identity as the Catalyst charShingles/wordShingles forms (the
+    // oracle queries keep those) with zero per-gram string allocation —
+    // ShingleSpec pins set sizes and pair jaccards equal.
+    val tsh = TextShingles.charGramHashesUdf(cfg.charGramK)(lower(col("transcript")))
     // LSH signature runs on word n-grams (low background J — see DedupConfig);
     // char-gram shingles stay for the exact verify metric.
-    val twsh = TextShingles.hashShingles(
-      TextShingles.wordShingles(col("transcript"), cfg.textLshWordNgram), portable = false)
+    val twsh = TextShingles.wordNgramHashesUdf(cfg.textLshWordNgram)(lower(col("transcript")))
     val tSigUdf = MinHasher.signatureUdf(cfg.numPerms, cfg.seed)
     val aSigUdf = MinHasher.signatureUdf(cfg.numPerms, cfg.seed + 1)
     clips.select(
