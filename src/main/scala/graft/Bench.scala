@@ -128,6 +128,10 @@ object Bench {
     val thrN = probeClips / tN
     val thr4N = probeClips / t4N
     val eff = thr4N / (4.0 * thrN)
+    // per-PAIR efficiencies: adjacent legs share a host-speed window, so the
+    // paired ratio is less drift-biased than min-leg-vs-min-leg (which can
+    // be inflated OR deflated when the two minima land in different windows)
+    val effPairs = repsN.zip(reps4N).map { case (a, b) => a / (4.0 * b) }
     // the host's own N->4N scaling for pure-CPU, memory-stream, and
     // allocation work: the measured hardware ceilings. The job's efficiency
     // is normalized by the MEMORY ceiling — the dedup kernels stream arrays,
@@ -151,6 +155,7 @@ object Bench {
         s""""sec_n_reps":${repJson(repsN.toSeq)},"sec_4n_reps":${repJson(reps4N.toSeq)},""" +
         f""""clips_per_sec_n":$thrN%.1f,"clips_per_sec_4n":$thr4N%.1f,""" +
         f""""efficiency":$eff%.3f,""" +
+        s""""efficiency_pairs":${repJson(effPairs.toSeq)},""" +
         f""""cpu_control_mops_n":${cpuN / 1e6}%.1f,"cpu_control_mops_4n":${cpu4N / 1e6}%.1f,""" +
         f""""cpu_control_efficiency":$cpuEff%.3f,""" +
         f""""mem_control_gbps_n":$memN%.1f,"mem_control_gbps_4n":$mem4N%.1f,""" +
