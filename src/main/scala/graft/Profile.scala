@@ -167,6 +167,44 @@ object Profile {
       return
     }
 
+    if (args.length > 2 && args(2) == "contain") {
+      // containment-stage internals: candidate counts per tier
+      val sigs = DedupPipeline.signatures(spark, clips, cfg).localCheckpoint(eager = true)
+      val fps = sigs.select(col("clip_id"), explode(col("cfps")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("fps-explode")(fps.count())
+      println(s"[profile] fps rows=${fps.count()} distinct docs=${fps.select("clip_id").distinct().count()}")
+      val sizes = fps.groupBy("fp").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("fp-sizes")(sizes.count())
+      println(s"[profile] buckets>1=${sizes.filter(col("n") > 1).count()} dropped=${sizes.filter(col("n") > cfg.containmentMaxBucket).count()} " +
+        s"top=${sizes.orderBy(col("n").desc).limit(5).collect().map(_.getLong(1)).mkString(",")}")
+      val kept = fps.join(sizes.filter(col("n") <= cfg.containmentMaxBucket), "fp")
+      val cands = kept.select(col("fp"), col("clip_id").as("a"))
+        .join(kept.select(col("fp"), col("clip_id").as("b")), "fp")
+        .filter(col("a") < col("b"))
+        .select("a", "b").dropDuplicates("a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("contain-cands")(cands.count())
+      println(s"[profile] contain cands=${cands.count()}")
+      val txt = sigs.select(col("clip_id"), lower(col("transcript")).as("_t"),
+        ContainmentJoin.gramsUdf(lower(col("transcript"))).as("_g"))
+      val w = cfg.containmentMinRun - ContainmentJoin.GramK + 1
+      val joined = cands
+        .join(txt.select(col("clip_id").as("a"), col("_t").as("_ta"), col("_g").as("_ga")), "a")
+        .join(txt.select(col("clip_id").as("b"), col("_t").as("_tb"), col("_g").as("_gb")), "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("cand-txt-join")(joined.count())
+      val pre = joined.filter(ContainmentJoin.sharedUdf(col("_ga"), col("_gb")) >= w)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("gram-prefilter")(pre.count())
+      println(s"[profile] prefilter survivors=${pre.count()}")
+      time("lcs-dp")(pre.filter(
+        ContainmentJoin.lcrUdf(col("_ta"), col("_tb")) >= cfg.containmentMinRun).count())
+      spark.stop()
+      return
+    }
+
     if (args.length > 2 && args(2) == "full") {
       // job-level wall times + task-time sums: where serial/driver time hides
       val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Int)]()
@@ -191,36 +229,50 @@ object Profile {
       return
     }
 
-    val sigs = DedupPipeline.signatures(spark, clips, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // default mode mirrors the REAL pipeline stage-for-stage (fused band
+    // self-join, precomputed winnowing fingerprints, persisted branches) so
+    // each timing is that stage's cost, not a recompute artifact
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigs = DedupPipeline.signatures(spark, clips, cfg).localCheckpoint(eager = false)
     time("signatures")(sigs.count())
 
-    val tSigOnly = sigs.filter(col("tsig").isNotNull).select(col("clip_id"), col("tsig").as("sig"))
-    val (tCands, _) = LshCandidates.candidatePairs(tSigOnly, "clip_id", cfg)
-    val tc = time("text-candidates")(tCands.persist().count())
+    val (cands, _) = LshCandidates.fusedCandidatePairs(Seq(
+      ("text", sigs.filter(col("tsig").isNotNull)
+        .select(col("clip_id"), col("tsig").as("sig")), cfg.bands, cfg.rowsPerBand),
+      ("audio", sigs.filter(col("asig").isNotNull)
+        .select(col("clip_id"), col("asig").as("sig")), cfg.audioBands, cfg.audioRowsPerBand)),
+      "clip_id", cfg.maxBucketSize)
+    val candsP = cands.persist(MEMORY_AND_DISK)
+    time("fused-candidates")(candsP.count())
+    val tCands = candsP.filter(col("modality") === "text").select("a", "b")
+    val aCands = candsP.filter(col("modality") === "audio").select("a", "b")
+    val tc = tCands.count(); val ac = aCands.count()
+
     val textPairs = PairVerifier.verify(tCands, sigs, "clip_id", "tshingles",
-      cfg.textJaccardThreshold, "text_minhash")
+      cfg.textJaccardThreshold, "text_minhash").persist(MEMORY_AND_DISK)
     time("text-verify")(textPairs.count())
 
-    val aSigOnly = sigs.filter(col("asig").isNotNull).select(col("clip_id"), col("asig").as("sig"))
-    val (aCands, _) = LshCandidates.candidatePairs(
-      aSigOnly, "clip_id", cfg.audioBands, cfg.audioRowsPerBand, cfg.maxBucketSize)
-    val ac = time("audio-candidates")(aCands.persist().count())
-    val audioScreened = PairVerifier.verify(aCands, sigs, "clip_id", "ashingles",
-      cfg.audioJaccardThreshold, "audio_minhash")
+    val aPlausible = PairVerifier.estimateScreen(aCands, sigs, "clip_id", "asig",
+      cfg.audioEstimateMin)
+    val audioScreened = PairVerifier.verify(aPlausible, sigs, "clip_id", "ashingles",
+      cfg.audioJaccardThreshold, "audio_minhash").persist(MEMORY_AND_DISK)
+    time("audio-verify")(audioScreened.count())
     val audioPairs = PairVerifier.pcmConfirm(audioScreened, clips, "clip_id", cfg.pcmCorrMin)
-    time("audio-verify+pcm")(audioPairs.count())
+      .persist(MEMORY_AND_DISK)
+    time("audio-pcm-confirm")(audioPairs.count())
 
-    val containPairs = ContainmentJoin.pairs(
-      sigs.select(col("clip_id"), col("transcript")), "clip_id", "transcript", cfg)
+    val containPairs = ContainmentJoin.pairsFromFps(
+      sigs.select(col("clip_id"), explode(col("cfps")).as("fp")),
+      sigs.select(col("clip_id"), lower(col("transcript")).as("_lt")),
+      "clip_id", "_lt", cfg).persist(MEMORY_AND_DISK)
     time("containment")(containPairs.count())
 
     val dupPairs = textPairs.select("a", "b")
       .union(audioPairs.select("a", "b")).union(containPairs.select("a", "b"))
-      .dropDuplicates("a", "b").persist()
-    time("dup-pairs-union")(dupPairs.count())
-    time("cc")(ConnectedComponents.clusters(dupPairs, cfg.minClusterSize).count())
-    println(s"[profile] text cands=$tc audio cands=$ac")
+      .dropDuplicates("a", "b").persist(MEMORY_AND_DISK)
+    val np = time("dup-pairs-union")(dupPairs.count())
+    time("cc")(ConnectedComponents.clusters(dupPairs, cfg.minClusterSize, np).count())
+    println(s"[profile] text cands=$tc audio cands=$ac pairs=$np")
     time("full-run-again")(DedupPipeline.run(spark, clips, cfg).clusters.count())
     spark.stop()
   }

@@ -52,6 +52,15 @@ final case class DedupConfig(
     containmentMinRun: Int = 70,
     // skew guards — "no silent caps": dropped buckets are counted in metrics
     maxBucketSize: Int = 2000,
+    // containment fingerprint buckets cap out far lower: a fingerprint shared
+    // by dozens of documents is boilerplate/template text (shorter than
+    // minRun, or mass duplication the exact/minhash paths already catch),
+    // and within-bucket pairing is quadratic — measured at 100k clips,
+    // boilerplate-driven buckets produced 3.6M candidates of which 99.6%
+    // died in the gram prefilter, at ~200s of join I/O (the standard
+    // suffix-array-dedup move is exactly this: drop ubiquitous runs).
+    // Dropped buckets are metered.
+    containmentMaxBucket: Int = 64,
     maxPairs: Long = 500000L, // utils/util.py:176
     // clustering
     minClusterSize: Int = 2,

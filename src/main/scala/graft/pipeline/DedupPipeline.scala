@@ -173,6 +173,11 @@ object DedupPipeline {
         droppedCounts.getOrElse("text", 0L))
       metrics += StageMetric("candidates_audio_dropped_buckets", "rows",
         droppedCounts.getOrElse("audio", 0L))
+      // containment fingerprint buckets over the (tighter) containment cap
+      metrics += StageMetric("containment_dropped_buckets", "rows",
+        sigs.select(explode(col("cfps")).as("fp"))
+          .groupBy("fp").count()
+          .filter(col("count") > cfg.containmentMaxBucket).count())
       metrics += StageMetric("dup_pairs", "rows", nPairs)
     }
 

@@ -161,7 +161,7 @@ object IncrementalDedup {
       val allFps = activeSigs.select(col("clip_id"), explode(col("cfps")).as("fp"))
       val dFps = activeDelta.select(col("clip_id").as("d"), explode(col("cfps")).as("fp"))
       val sizes = allFps.groupBy("fp").agg(count(lit(1)).as("n"))
-      val kept = allFps.join(sizes.filter(col("n") <= cfg.maxBucketSize), "fp")
+      val kept = allFps.join(sizes.filter(col("n") <= cfg.containmentMaxBucket), "fp")
       val cands = dFps.join(kept.select(col("clip_id").as("o"), col("fp")), "fp")
         .filter(col("d") =!= col("o"))
         .select(least(col("d"), col("o")).as("a"), greatest(col("d"), col("o")).as("b"))

@@ -67,6 +67,8 @@ class OperatorSpec extends SparkSpec {
       val ga = ContainmentJoin.gramHashesJvm(a)
       val gb = ContainmentJoin.gramHashesJvm(b)
       assert(ContainmentJoin.sharedSortedJvm(ga, gb) >= w)
+      assert(ContainmentJoin.sharedSorted31Jvm(
+        ContainmentJoin.gramHashes31Jvm(a), ContainmentJoin.gramHashes31Jvm(b)) >= w)
     }
   }
 
@@ -99,6 +101,9 @@ class OperatorSpec extends SparkSpec {
       val gb = ContainmentJoin.gramHashesJvm(b)
       assert(ContainmentJoin.sharedSortedJvm(ga, gb) >= w,
         s"prefilter rejected a real repetitive run (${shared.take(6)}...)")
+      // the 31-bit pipeline variant is equally sound
+      assert(ContainmentJoin.sharedSorted31Jvm(
+        ContainmentJoin.gramHashes31Jvm(a), ContainmentJoin.gramHashes31Jvm(b)) >= w)
       // winnowing still selects a shared fingerprint on both sides
       val fa = ContainmentJoin.fingerprintsJvm(a, 70).toSet
       val fb = ContainmentJoin.fingerprintsJvm(b, 70).toSet
