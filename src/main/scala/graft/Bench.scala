@@ -46,7 +46,12 @@ object Bench {
       DedupConfig.default.copy(collectMetrics = false))
     res.clusters.count()
     val dt = (System.nanoTime() - t0) / 1e9
+    // full storage purge, not just clearCache(): localCheckpoint blocks are
+    // persistent RDDs the cache manager does not track, and leftovers from a
+    // previous run inflate the next run's CPU ~2x via unified-memory eviction
+    // churn (profiled; the warmup run must not poison the timed run).
     spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     dt
   }
 

@@ -206,25 +206,44 @@ object Profile {
     }
 
     if (args.length > 2 && args(2) == "full") {
-      // job-level wall times + task-time sums: where serial/driver time hides
-      val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Int)]()
+      // job-level wall times + task-time sums: where serial/driver time hides.
+      // Per stage: wall, executor run time, CPU time, GC time, call site —
+      // runTime >> cpuTime+gcTime means threads blocked (lock/IO), high GC
+      // means allocation storm, and the call site names the operator.
+      final case class St(name: String, site: String, rt: Long, cpu: Long,
+                          gc: Long, wall: Long, nt: Int)
+      val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, St]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
           val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(0L)
-          stageInfo.put(si.stageId,
-            (si.name.split("\n")(0).take(80), si.taskMetrics.executorRunTime, wall, si.numTasks))
+          val site = si.details.split("\n").find(l =>
+            l.contains("graft.") && !l.contains("Profile")).getOrElse("").trim.take(100)
+          stageInfo.put(si.stageId, St(si.name.split("\n")(0).take(60), site,
+            si.taskMetrics.executorRunTime, si.taskMetrics.executorCpuTime / 1000000,
+            si.taskMetrics.jvmGCTime, wall, si.numTasks))
         }
       })
-      time("full-run-1")(DedupPipeline.run(spark, clips, cfg).clusters.count())
-      stageInfo.clear()
-      time("full-run-2")(DedupPipeline.run(spark, clips, cfg).clusters.count())
-      import scala.jdk.CollectionConverters._
-      val stages = stageInfo.asScala.toSeq
-      println(f"[profile] run-2 stages=${stages.size} sum-task-time=${stages.map(_._2._2).sum / 1000.0}%.1f s sum-stage-wall=${stages.map(_._2._3).sum / 1000.0}%.1f s")
-      stages.sortBy(-_._2._3).take(20).foreach { case (id, (name, rt, wall, nt)) =>
-        println(f"[profile]   stage $id%4d wall ${wall / 1000.0}%7.2f s  task-sum ${rt / 1000.0}%8.1f s  $nt%4d tasks  $name")
+      def report(label: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val stages = stageInfo.asScala.toSeq
+        println(f"[profile] $label stages=${stages.size} sum-task-time=${stages.map(_._2.rt).sum / 1000.0}%.1f s sum-cpu=${stages.map(_._2.cpu).sum / 1000.0}%.1f s sum-gc=${stages.map(_._2.gc).sum / 1000.0}%.1f s")
+        stages.sortBy(-_._2.wall).take(16).foreach { case (id, s) =>
+          println(f"[profile]   stage $id%4d wall ${s.wall / 1000.0}%7.2f s  run ${s.rt / 1000.0}%8.1f s  cpu ${s.cpu / 1000.0}%8.1f s  gc ${s.gc / 1000.0}%6.1f s  ${s.nt}%4d tasks  ${s.site}")
+        }
+        stageInfo.clear()
       }
+      time("full-run-1")(DedupPipeline.run(spark, clips, cfg).clusters.count())
+      report("run-1")
+      // purge ALL persistent RDDs (incl. localCheckpoint blocks) so run-2
+      // measures the engine, not run-1's leftover-block eviction churn;
+      // re-cache the corpus like run-1 had it
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      clips.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      clips.count()
+      time("full-run-2")(DedupPipeline.run(spark, clips, cfg).clusters.count())
+      report("run-2")
       spark.stop()
       return
     }

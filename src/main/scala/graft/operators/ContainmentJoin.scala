@@ -250,7 +250,12 @@ object ContainmentJoin {
                    cfg: DedupConfig): DataFrame = {
     val w = cfg.containmentMinRun - GramK + 1
     val sizes = fps.groupBy("fp").agg(count(lit(1)).as("n"))
-    val kept = fps.join(sizes.filter(col("n") <= cfg.maxBucketSize), "fp")
+    // containmentMaxBucket (64), NOT the generic LSH cap (2000): a
+    // fingerprint shared by dozens of docs is sub-minRun boilerplate whose
+    // within-bucket pairing is quadratic (one 2000-doc bucket alone emits 2M
+    // candidates that die in the prefilter); the incremental path
+    // (IncrementalDedup) applies the same cap — batch and merge must agree.
+    val kept = fps.join(sizes.filter(col("n") <= cfg.containmentMaxBucket), "fp")
     val cands = kept.select(col("fp"), col(idCol).as("a"))
       .join(kept.select(col("fp"), col(idCol).as("b")), "fp")
       .filter(col("a") < col("b"))

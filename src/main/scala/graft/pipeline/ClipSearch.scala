@@ -102,7 +102,9 @@ object ClipSearch {
     val w = cfg.containmentMinRun - cj.GramK + 1
     val sFps = stored.select(col("clip_id").as("match_id"), explode(col("cfps")).as("fp"))
     val fpSizes = sFps.groupBy("fp").agg(count(lit(1)).as("n"))
-    val keptFps = sFps.join(fpSizes.filter(col("n") <= cfg.maxBucketSize), "fp")
+    // containmentMaxBucket, matching the batch (ContainmentJoin.pairsFromFps)
+    // and incremental paths: boilerplate fingerprints are dropped everywhere
+    val keptFps = sFps.join(fpSizes.filter(col("n") <= cfg.containmentMaxBucket), "fp")
     val cCands = probeSigs
       .select(col("clip_id").as("probe_id"), explode(col("cfps")).as("fp"))
       .join(keptFps, "fp")

@@ -125,12 +125,17 @@ object DedupPipeline {
     // (b) LSH candidates for BOTH modalities in one fused banded self-join
     //     (half the candidate-stage count — stage/driver overhead is the
     //     serial term in the scaling budget)
-    val (cands, dropped) = LshCandidates.fusedCandidatePairs(Seq(
+    val (cands0, dropped) = LshCandidates.fusedCandidatePairs(Seq(
       ("text", sigs.filter(col("tsig").isNotNull)
         .select(col("clip_id"), col("tsig").as("sig")), cfg.bands, cfg.rowsPerBand),
       ("audio", sigs.filter(col("asig").isNotNull)
         .select(col("clip_id"), col("asig").as("sig")), cfg.audioBands, cfg.audioRowsPerBand)),
       "clip_id", cfg.maxBucketSize)
+    // persist: the banded self-join is ~25% of the whole run's task time and
+    // BOTH verify branches consume it — unpersisted, each branch recomputes
+    // the explode+groupBy+join chain (profiled: 2x the candidate stage).
+    // Rows are (a, b, modality) triples — tiny relative to the corpus.
+    val cands = cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tCands = cands.filter(col("modality") === "text").select("a", "b")
     val aCands = cands.filter(col("modality") === "audio").select("a", "b")
 
@@ -185,6 +190,12 @@ object DedupPipeline {
     // utils/util.py:174-220) — NEVER silent: dropped count goes to metrics.
     // Applied UNCONDITIONALLY (a metrics-off run must produce the same pairs
     // as a metrics-on run).
+    // dupPairs is materialized; drop the internal caches NOW — leaked storage
+    // blocks force eviction churn in every later job sharing the session
+    // (measured: a second full run costs ~2x the CPU of the first purely
+    // from leftover blocks).
+    audioScreened.unpersist()
+    cands.unpersist()
     val nKept = if (cfg.maxPairs > 0) math.min(nPairs, cfg.maxPairs) else nPairs
     val cappedPairs =
       if (cfg.maxPairs > 0 && nPairs > cfg.maxPairs) {
