@@ -113,14 +113,22 @@ object Bench {
     // per-rep values are all reported for drift visibility
     val repsN = scala.collection.mutable.ArrayBuffer[Double]()
     val reps4N = scala.collection.mutable.ArrayBuffer[Double]()
+    // host-speed canary: a FIXED 4-thread pure-CPU burst before each leg.
+    // The host's effective CPU speed drifts 2-3x over minutes (verified; no
+    // steal reported), which aliases into the N-vs-4N ratio; dividing each
+    // leg's time by the adjacent canary speed cancels first-order drift.
+    val canaryN = scala.collection.mutable.ArrayBuffer[Double]()
+    val canary4N = scala.collection.mutable.ArrayBuffer[Double]()
     var (cpuN, memN, allocN) = (0.0, 0.0, 0.0)
     var (cpu4N, mem4N, alloc4N) = (0.0, 0.0, 0.0)
     var rep = 0
     while (rep < 2 || System.nanoTime() < deadline) {
+      canaryN += HwControls.cpuOps(4, 1500)
       repsN += probe(nCores, probeClips)
       cpuN = math.max(cpuN, HwControls.cpuOps(nCores, 3000))
       memN = math.max(memN, HwControls.memGBps(nCores, 3000))
       allocN = math.max(allocN, HwControls.allocOps(nCores, 3000))
+      canary4N += HwControls.cpuOps(4, 1500)
       reps4N += probe(fourN, probeClips)
       cpu4N = math.max(cpu4N, HwControls.cpuOps(fourN, 3000))
       mem4N = math.max(mem4N, HwControls.memGBps(fourN, 3000))
@@ -137,6 +145,14 @@ object Bench {
     // paired ratio is less drift-biased than min-leg-vs-min-leg (which can
     // be inflated OR deflated when the two minima land in different windows)
     val effPairs = repsN.zip(reps4N).map { case (a, b) => a / (4.0 * b) }
+    // drift-corrected: scale each leg's time by (adjacent canary speed /
+    // fastest canary speed) — work done on a half-speed host in 2t counts as
+    // t. Corrected efficiency uses corrected min legs; raw stays reported.
+    val speedRef = (canaryN ++ canary4N).max
+    val corrN = repsN.zip(canaryN).map { case (t, s) => t * s / speedRef }
+    val corr4N = reps4N.zip(canary4N).map { case (t, s) => t * s / speedRef }
+    val effCorr = corrN.min / (4.0 * corr4N.min)
+    val effPairsCorr = corrN.zip(corr4N).map { case (a, b) => a / (4.0 * b) }
     // the host's own N->4N scaling for pure-CPU, memory-stream, and
     // allocation work: the measured hardware ceilings. The job's efficiency
     // is normalized by the MEMORY ceiling — the dedup kernels stream arrays,
@@ -161,6 +177,10 @@ object Bench {
         f""""clips_per_sec_n":$thrN%.1f,"clips_per_sec_4n":$thr4N%.1f,""" +
         f""""efficiency":$eff%.3f,""" +
         s""""efficiency_pairs":${repJson(effPairs.toSeq)},""" +
+        f""""efficiency_drift_corrected":$effCorr%.3f,""" +
+        s""""efficiency_pairs_drift_corrected":${repJson(effPairsCorr.toSeq)},""" +
+        s""""canary_mops_n":${repJson(canaryN.toSeq.map(_ / 1e6))},""" +
+        s""""canary_mops_4n":${repJson(canary4N.toSeq.map(_ / 1e6))},""" +
         f""""cpu_control_mops_n":${cpuN / 1e6}%.1f,"cpu_control_mops_4n":${cpu4N / 1e6}%.1f,""" +
         f""""cpu_control_efficiency":$cpuEff%.3f,""" +
         f""""mem_control_gbps_n":$memN%.1f,"mem_control_gbps_4n":$mem4N%.1f,""" +

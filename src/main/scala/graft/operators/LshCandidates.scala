@@ -78,15 +78,20 @@ object LshCandidates {
       bandKeysHashed(sigs, idCol, bands, rows).select(
         col(idCol), lit(tag).as("modality"), col("band"), col("bandVal"))
     }.reduce(_ unionByName _)
-    val sizes = keys.groupBy("modality", "band", "bandVal")
-      .agg(count(lit(1)).as("bucketSize"))
-    val dropped = sizes.filter(col("bucketSize") > maxBucketSize)
-    val kept = keys.join(sizes.filter(col("bucketSize") <= maxBucketSize),
-      Seq("modality", "band", "bandVal"))
-    val l = kept.select(col(idCol).as("a"), col("modality"), col("band"), col("bandVal"))
-    val r = kept.select(col(idCol).as("b"), col("modality"), col("band"), col("bandVal"))
-    val pairs = l.join(r, Seq("modality", "band", "bandVal"))
-      .filter(col("a") < col("b"))
+    // ONE shuffle: gather each bucket's members with collect_list, then
+    // expand pairs executor-side via nested generators. The previous shape
+    // (groupBy count -> join sizes back -> bucket self-join) shuffled the
+    // exploded rows x bands key table three times; this shuffles it once.
+    // Bucket member lists are bounded by maxBucketSize, so a gathered bucket
+    // is at most ~tens of KB — far below task memory.
+    val buckets = keys.groupBy("modality", "band", "bandVal")
+      .agg(collect_list(col(idCol)).as("ids"), count(lit(1)).as("bucketSize"))
+      .filter(col("bucketSize") > 1)
+    val dropped = buckets.filter(col("bucketSize") > maxBucketSize)
+    val pairs = buckets.filter(col("bucketSize") <= maxBucketSize)
+      .select(col("modality"), col("ids"), explode(col("ids")).as("a"))
+      .select(col("modality"), col("a"),
+        explode(filter(col("ids"), x => x > col("a"))).as("b"))
       .select("a", "b", "modality")
       .dropDuplicates("a", "b", "modality")
     (pairs, dropped.select(col("modality"), col("band"), col("bandVal"), col("bucketSize")))

@@ -66,11 +66,24 @@ object PairVerifier {
    * (sigma ~ sqrt(t(1-t)/P)) below the verify threshold t so no true pair is
    * lost.
    */
+  /** Features restricted to rows that appear as a candidate-pair endpoint —
+    * a left_semi prefilter (NO broadcast hint: the endpoint set is unbounded
+    * at 10^12-row scale; AQE broadcasts when it is actually small). Pairs are
+    * few relative to the corpus, so the downstream feature shuffles become
+    * O(|pairs|) instead of O(|corpus|). */
+  private def endpointFeatures(pairs: DataFrame, features: DataFrame,
+                               idCol: String): DataFrame = {
+    val ids = pairs.select(col("a").as(idCol))
+      .union(pairs.select(col("b").as(idCol))).distinct()
+    features.join(ids, Seq(idCol), "left_semi")
+  }
+
   def estimateScreen(pairs: DataFrame, features: DataFrame, idCol: String,
                      sigCol: String, estMin: Double): DataFrame = {
     val est = udf((x: Array[Long], y: Array[Long]) => estimateJvm(x, y))
-    val fa = features.select(col(idCol).as("a"), col(sigCol).as("_ea"))
-    val fb = features.select(col(idCol).as("b"), col(sigCol).as("_eb"))
+    val needed = endpointFeatures(pairs, features.select(col(idCol), col(sigCol)), idCol)
+    val fa = needed.select(col(idCol).as("a"), col(sigCol).as("_ea"))
+    val fb = needed.select(col(idCol).as("b"), col(sigCol).as("_eb"))
     pairs.join(fa, "a").join(fb, "b")
       .filter(est(col("_ea"), col("_eb")) >= estMin)
       .select(pairs.columns.map(col): _*)
@@ -80,8 +93,9 @@ object PairVerifier {
              shinglesCol: String, jaccardThreshold: Double,
              method: String): DataFrame = {
     val jac = udf((x: Array[Long], y: Array[Long]) => jaccardLongJvm(x, y))
-    val fa = features.select(col(idCol).as("a"), col(shinglesCol).as("_sa"))
-    val fb = features.select(col(idCol).as("b"), col(shinglesCol).as("_sb"))
+    val needed = endpointFeatures(pairs, features.select(col(idCol), col(shinglesCol)), idCol)
+    val fa = needed.select(col(idCol).as("a"), col(shinglesCol).as("_sa"))
+    val fb = needed.select(col(idCol).as("b"), col(shinglesCol).as("_sb"))
     pairs.join(fa, "a").join(fb, "b")
       .withColumn("score", jac(col("_sa"), col("_sb")))
       .filter(col("score") >= jaccardThreshold)

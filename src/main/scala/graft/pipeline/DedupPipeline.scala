@@ -147,8 +147,12 @@ object DedupPipeline {
     //     shuffling the ~7KB shingle arrays for it, then the exact
     //     PCM-correlation confirm runs on survivors only. audioScreened is
     //     persisted because pcmConfirm reads it twice (id semi-join + join).
+    // persisted: verify's endpoint semi-join reads its pair input multiple
+    // times (ids + both sides), and unpersisted that would recompute the
+    // screen chain each read. Rows are (a, b) pairs — tiny.
     val aPlausible = PairVerifier.estimateScreen(aCands, sigs, "clip_id", "asig",
       cfg.audioEstimateMin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val audioScreened = PairVerifier.verify(aPlausible, sigs, "clip_id", "ashingles",
       cfg.audioJaccardThreshold, "audio_minhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -195,6 +199,7 @@ object DedupPipeline {
     // (measured: a second full run costs ~2x the CPU of the first purely
     // from leftover blocks).
     audioScreened.unpersist()
+    aPlausible.unpersist()
     cands.unpersist()
     val nKept = if (cfg.maxPairs > 0) math.min(nPairs, cfg.maxPairs) else nPairs
     val cappedPairs =
