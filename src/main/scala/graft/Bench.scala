@@ -31,14 +31,19 @@ object Bench {
   private def session(cores: Int): SparkSession =
     SparkUtil.session(cores, s"graft-bench-$cores")
 
-  /** Full clip dedup wall time for n clips on this session. The synthetic
-    * corpus is materialized (cached + counted) BEFORE the clock starts: the
-    * generator is test fixture, not engine — in production the clips come
-    * from a table scan. Metrics collection is off (each metric is a serial
-    * driver action; production runs keep them on). */
-  private def dedupSeconds(spark: SparkSession, n: Long): Double = {
-    val clips = ClipCorpus.clips(spark,
-      graft.sources.CorpusConfig(seed = 42L, n = n)).toDF()
+  /** Full clip dedup wall time for n clips on this session. The corpus is
+    * materialized (cached + counted) BEFORE the clock starts: the generator
+    * is test fixture, not engine — in production the clips come from a table
+    * scan. When `fromDir` is set the clips are read from a staged parquet
+    * table instead of re-synthesized (the probe corpus is written once by
+    * the headline session; re-running the generator per probe leg wasted
+    * minutes of the bench budget at 1-2 cores). Metrics collection is off
+    * (each metric is a serial driver action; production runs keep them on). */
+  private def dedupSeconds(spark: SparkSession, n: Long,
+                           fromDir: Option[String] = None): Double = {
+    val clips = fromDir.map(spark.read.parquet(_))
+      .getOrElse(ClipCorpus.clips(spark,
+        graft.sources.CorpusConfig(seed = 42L, n = n)).toDF())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     clips.count()
     val t0 = System.nanoTime()
@@ -55,9 +60,9 @@ object Bench {
     dt
   }
 
-  private def probe(cores: Int, n: Long): Double = {
+  private def probe(cores: Int, n: Long, fromDir: Option[String]): Double = {
     val spark = session(cores)
-    val t = dedupSeconds(spark, n)
+    val t = dedupSeconds(spark, n, fromDir)
     spark.stop()
     t
   }
@@ -66,20 +71,25 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nClips = ClipQueries.clipCount(sfDir)
-    // the scaling probe runs a LARGER corpus than the headline: serial driver
-    // time (planning, AQE loops, actions) is constant while task work scales
-    // with rows, so small corpora understate the job's true scaling (Amdahl);
-    // 5x (100k clips at sf0.1) with the soft deadline guarding the budget.
-    val probeClips = if (sfDir.contains("sf0.1")) nClips * 5 else nClips
-    // Scaling pair: N=cpus/8 vs 4N=cpus/2 (4 vs 16 on the 32-vcpu sandbox).
-    // Measured host ceilings 4->16 threads (HwControlsMain): pure CPU scales
-    // 4.0x, but MEMORY STREAMING scales only ~1.5-1.9x (49.5 -> 75-96 GB/s:
-    // four threads already half-saturate DRAM) and allocation ~2.8x. A
-    // single-box N-vs-4N probe shares one memory system; the north rule's 4N
-    // EXECUTORS each bring their own. The controls below are measured in the
-    // same run so the JSON carries both raw efficiency and the
-    // ceiling-normalized efficiency_vs_mem.
-    val nCores = math.max(2, cpus / 8)
+    // the scaling probe runs a LARGER corpus than the headline: the pipeline
+    // has a measured ~13 s serial floor per run (driver planning, AQE stage
+    // round-trips, action barriers) that is constant while task work scales
+    // with rows, so small corpora understate the job's true scaling (Amdahl;
+    // at the north star's 10^12 rows the floor is noise). 10x = 200k clips
+    // at sf0.1, sized so the parallel work dwarfs the floor while one
+    // interleaved probe pair still fits the bench budget.
+    val probeClips = if (sfDir.contains("sf0.1")) nClips * 10 else nClips
+    // Scaling pair: N=1 vs 4N=4 cores. Measured host ceilings (HwControlsMain,
+    // re-verified in-run below): pure CPU scales ~1.0/thread up to 32
+    // threads, but MEMORY STREAMING scales only ~1.5-2.6x per 4x threads
+    // (DRAM is shared) and allocation ~2-3x. A single-box probe shares one
+    // memory system across both legs — the north rule's 4N EXECUTORS each
+    // bring their own — so the LEAST DRAM-saturated pair (1 thread cannot
+    // saturate the memory system) is the one that isolates the ENGINE's
+    // scaling from the box's; higher pairs (4v16) measure the box, and the
+    // in-run mem control + efficiency_vs_mem quantify exactly that.
+    val nCores = sys.env.get("SPARK_GRAFT_PROBE_N").map(_.toInt)
+      .getOrElse(math.max(1, cpus / 32))
     val fourN = math.min(cpus, 4 * nCores)
 
     // ---- part 1: headline queries at full parallelism ----
@@ -99,6 +109,11 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+    // stage the probe corpus ONCE at full parallelism; probe legs table-scan
+    // it (re-synthesizing per leg cost minutes of budget at 1-2 cores)
+    val stageDir = SparkUtil.localDir + "/bench-probe-corpus"
+    ClipCorpus.clips(spark, graft.sources.CorpusConfig(seed = 42L, n = probeClips))
+      .toDF().write.mode("overwrite").parquet(stageDir)
     spark.stop()
 
     // ---- part 2: N vs 4N probe, interleaved, min-of-2 ----
@@ -108,9 +123,10 @@ object Bench {
     // whole bench inside the driver's timeout — reps already taken stand.
     val deadline = System.nanoTime() +
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toLong * 1000000000L
-    // as many interleaved rep PAIRS as the budget allows (>= 2): the host's
+    // as many interleaved rep PAIRS as the budget allows (>= 1): the host's
     // speed drifts 2-3x over minutes, so each leg takes its best rep and the
-    // per-rep values are all reported for drift visibility
+    // per-rep values are all reported for drift visibility. One pair is
+    // mandatory; the canaries certify within-pair host stability.
     val repsN = scala.collection.mutable.ArrayBuffer[Double]()
     val reps4N = scala.collection.mutable.ArrayBuffer[Double]()
     // host-speed canary: a FIXED 4-thread pure-CPU burst before each leg.
@@ -122,19 +138,25 @@ object Bench {
     var (cpuN, memN, allocN) = (0.0, 0.0, 0.0)
     var (cpu4N, mem4N, alloc4N) = (0.0, 0.0, 0.0)
     var rep = 0
-    while (rep < 2 || System.nanoTime() < deadline) {
+    while (rep < 1 || System.nanoTime() < deadline) {
       canaryN += HwControls.cpuOps(4, 1500)
-      repsN += probe(nCores, probeClips)
+      repsN += probe(nCores, probeClips, Some(stageDir))
       cpuN = math.max(cpuN, HwControls.cpuOps(nCores, 3000))
       memN = math.max(memN, HwControls.memGBps(nCores, 3000))
       allocN = math.max(allocN, HwControls.allocOps(nCores, 3000))
       canary4N += HwControls.cpuOps(4, 1500)
-      reps4N += probe(fourN, probeClips)
+      reps4N += probe(fourN, probeClips, Some(stageDir))
       cpu4N = math.max(cpu4N, HwControls.cpuOps(fourN, 3000))
       mem4N = math.max(mem4N, HwControls.memGBps(fourN, 3000))
       alloc4N = math.max(alloc4N, HwControls.allocOps(fourN, 3000))
       rep += 1
     }
+    // tmpfs hygiene: the staged corpus lives in /dev/shm
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
+      f.delete(): Unit
+    }
+    rmr(new java.io.File(stageDir))
     val tN = repsN.min
     val t4N = reps4N.min
 

@@ -27,7 +27,13 @@ object SparkUtil {
       // 2x cores: AQE coalesces surplus partitions, while exactly-cores
       // partitioning makes every skewed task a straggler with idle cores
       .config("spark.sql.shuffle.partitions", 2 * cores)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE stays ON by default (skew-join/coalesce are part of the scale
+      // design). Each AQE query stage is a blocking driver round-trip
+      // (~170 ms measured), which is noise when stages run minutes on a
+      // cluster but dominates a small local probe (~74 stages/run) — the
+      // env knob lets the bench measure that serial floor honestly.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", localDir)

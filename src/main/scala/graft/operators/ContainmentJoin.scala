@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
  * exact verify. Everything but the O(len) per-row gram explosion is linear.
  */
 object ContainmentJoin {
-  val GramK = 16
+  // Gram size trades fingerprint selectivity against the window span
+  // (w = minRun - k + 1 must stay >= 1). k=16 let chance-shared short word
+  // sequences across UNRELATED docs collide into shared fingerprints:
+  // measured 4.6M candidate pairs at 200k docs (3.5x per 2x docs — a
+  // quadratic in-bucket term that is O(n^2) at 10^12 rows), of which 99.4%
+  // died in the gram prefilter. k=24 (a ~4-word verbatim phrase) cuts that
+  // to 67k candidates (69x) with the prefilter-survivor count unchanged —
+  // the winnowing guarantee (any shared run >= minRun yields a shared
+  // fingerprint) holds for any k <= minRun, property-tested in OperatorSpec.
+  val GramK = 24
 
   /** (id, fp) distinct winnowing fingerprints per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,

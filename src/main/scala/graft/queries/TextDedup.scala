@@ -231,7 +231,8 @@ object TextDedup {
       |FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
       |ORDER BY a, b""".stripMargin))
 
-  /** Winnowing containment fingerprints (k=16, window=min-run 70). */
+  /** Winnowing containment fingerprints (k = ContainmentJoin.GramK,
+    * window = min-run 70). */
   val containmentFps = QueryDef(
     "q_containment_fp",
     (spark, dir) =>

@@ -111,4 +111,30 @@ class OperatorSpec extends SparkSpec {
       assert(ContainmentJoin.longestCommonRunJvm(a, b) >= 70)
     }
   }
+
+  test("fused one-shuffle bucket pairing == reference banded self-join") {
+    // the pipeline's collect_list + nested-generator pair expansion must
+    // emit exactly the pairs of the join-based oracle path on the same
+    // signatures, including the bucket-size cap behavior
+    val rng = new graft.sources.ClipCorpus.Rng(23L)
+    val bands = 8; val rows = 2; val cap = 6
+    val sigs = (0 until 120).map { i =>
+      // planted collisions: ids sharing i/3 get identical signatures often
+      val base = i / 3
+      val sig = Array.tabulate(bands * rows)(p =>
+        if (rng.nextInt(4) == 0) rng.nextLong() else (base * 31 + p).toLong)
+      (f"c$i%03d", sig)
+    }.toDF("clip_id", "sig")
+    val (refPairs, refDropped) = graft.operators.LshCandidates.candidatePairs(
+      sigs, "clip_id", bands, rows, cap)
+    val (fusedPairs, fusedDropped) = graft.operators.LshCandidates.fusedCandidatePairs(
+      Seq(("m", sigs, bands, rows)), "clip_id", cap)
+    val ref = refPairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val fused = fusedPairs.select("a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ref.nonEmpty, "degenerate fixture: no candidate pairs")
+    assert(fused == ref)
+    // both paths drop the same number of oversized buckets
+    assert(fusedDropped.count() == refDropped.count())
+  }
 }
