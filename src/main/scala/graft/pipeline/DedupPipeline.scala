@@ -122,13 +122,30 @@ object DedupPipeline {
         .dropDuplicates("a", "b")
     }
 
+    // (a2) representative filter: near-dup candidate generation runs on ONE
+    //     representative per exact-content group. Identical content has
+    //     identical signatures, so banding every copy multiplies bucket mass
+    //     QUADRATICALLY in duplication depth (a 1000-copy group is 10^6
+    //     in-bucket pairs that verify to the same answer) — at 10^12 rows
+    //     with real-world duplication this is the difference between
+    //     O(unique^2-shaped) and O(corpus^2-shaped) candidate mass, and
+    //     mega-groups otherwise die on the bucket cap instead of being
+    //     found. Exact edges (a) already chain every copy to its group min,
+    //     so CC transitivity extends each rep-level pair to all copies;
+    //     clusters are IDENTICAL to the unfiltered pipeline (PipelineSpec
+    //     pins recall/precision on cluster co-membership).
+    val repIds = sigs.groupBy(col("sha"), col("tHashExact"))
+      .agg(min(col("clip_id")).as("clip_id"))
+      .select("clip_id")
+    val repSigs = sigs.join(repIds, Seq("clip_id"), "left_semi")
+
     // (b) LSH candidates for BOTH modalities in one fused banded self-join
     //     (half the candidate-stage count — stage/driver overhead is the
     //     serial term in the scaling budget)
     val (cands0, dropped) = LshCandidates.fusedCandidatePairs(Seq(
-      ("text", sigs.filter(col("tsig").isNotNull)
+      ("text", repSigs.filter(col("tsig").isNotNull)
         .select(col("clip_id"), col("tsig").as("sig")), cfg.bands, cfg.rowsPerBand),
-      ("audio", sigs.filter(col("asig").isNotNull)
+      ("audio", repSigs.filter(col("asig").isNotNull)
         .select(col("clip_id"), col("asig").as("sig")), cfg.audioBands, cfg.audioRowsPerBand)),
       "clip_id", cfg.maxBucketSize)
     // persist: the banded self-join is ~25% of the whole run's task time and
@@ -161,7 +178,7 @@ object DedupPipeline {
     // (d) containment: long verbatim transcript runs (>= cfg.containmentMinRun);
     //     fingerprints come precomputed from the signature pass
     val containPairs = ContainmentJoin.pairsFromFps(
-      sigs.select(col("clip_id"), explode(col("cfps")).as("fp")),
+      repSigs.select(col("clip_id"), explode(col("cfps")).as("fp")),
       sigs.select(col("clip_id"), lower(col("transcript")).as("_lt")),
       "clip_id", "_lt", cfg)
       .select(col("a"), col("b"), lit(0.9).as("score"), lit("containment").as("method"))
@@ -183,8 +200,9 @@ object DedupPipeline {
       metrics += StageMetric("candidates_audio_dropped_buckets", "rows",
         droppedCounts.getOrElse("audio", 0L))
       // containment fingerprint buckets over the (tighter) containment cap
+      // (rep-filtered, matching what the containment stage actually joined)
       metrics += StageMetric("containment_dropped_buckets", "rows",
-        sigs.select(explode(col("cfps")).as("fp"))
+        repSigs.select(explode(col("cfps")).as("fp"))
           .groupBy("fp").count()
           .filter(col("count") > cfg.containmentMaxBucket).count())
       metrics += StageMetric("dup_pairs", "rows", nPairs)

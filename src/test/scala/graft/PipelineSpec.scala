@@ -70,4 +70,44 @@ class PipelineSpec extends SparkSpec {
     assert(stages.contains("signatures") && stages.contains("dup_pairs"))
     assert(stages.exists(_.contains("dropped")))
   }
+
+  test("exact-group representative filter: near-dup pairs extend to every copy, pair count stays linear") {
+    // 50 identical copies of one clip + a 35 dB near-dup + distractors.
+    // Near-dup candidate generation runs on ONE rep per exact group, so the
+    // dup-pair table must stay ~linear in group size (star edges + one rep
+    // pair), while CC transitivity still puts all 51 in one cluster.
+    import graft.functions.AudioPcm
+    val sr = 16000
+    def sine(freq: Double, amp: Double, n: Int, noiseSeed: Long = -1L): Array[Float] = {
+      val r = if (noiseSeed >= 0) new ClipCorpus.Rng(noiseSeed) else null
+      Array.tabulate(n) { i =>
+        val v = amp * math.sin(2.0 * math.Pi * freq * i / sr)
+        val noise = if (r == null) 0.0 else (r.nextDouble() - 0.5) * amp * 0.02
+        (v + noise).toFloat
+      }
+    }
+    val n = sr / 2 // 500 ms
+    val base = AudioPcm.encodeJvm(sine(440.0, 0.6, n))
+    val near = AudioPcm.encodeJvm(sine(440.0, 0.6, n, noiseSeed = 7L))
+    val far1 = AudioPcm.encodeJvm(sine(2600.0, 0.4, n))
+    val far2 = AudioPcm.encodeJvm(sine(901.0, 0.8, n))
+    val rows =
+      (1 to 50).map(i => (f"copy_$i%03d", base, sr, 500, "pcm_s16le", "")) ++
+        Seq(("near_dup", near, sr, 500, "pcm_s16le", ""),
+          ("far_a", far1, sr, 500, "pcm_s16le", ""),
+          ("far_b", far2, sr, 500, "pcm_s16le", ""))
+    val clips = rows.toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    val res = DedupPipeline.run(spark, clips, cfg)
+    val assign = res.clusters.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val groupComps = (1 to 50).map(i => assign(f"copy_$i%03d")).toSet
+    assert(groupComps.size == 1, s"exact copies split: $groupComps")
+    assert(assign.get("near_dup").contains(groupComps.head),
+      "near-dup did not join the exact group's cluster via its representative")
+    assert(!assign.get("far_a").exists(_ == groupComps.head) &&
+      !assign.get("far_b").exists(_ == groupComps.head), "distractor leaked in")
+    val nPairs = res.dupPairs.count()
+    assert(nPairs <= 60, s"pair table quadratic in group size: $nPairs pairs " +
+      "(expected ~50 star edges + 1 rep-level near-dup pair)")
+  }
 }
