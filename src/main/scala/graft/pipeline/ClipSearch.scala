@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.config.DedupConfig
-import graft.operators.{LshCandidates, PairVerifier}
+import graft.operators.{ContainmentJoin, PairVerifier}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,16 +10,18 @@ import org.apache.spark.sql.functions._
  * Read-only query-by-example search over a committed DedupStore — the analog
  * of the reference's headline interaction `search_similar_images(target, k,
  * threshold)` (improved_faiss_detector.py:522-556) and `most_similar`
- * (bert_similarity.py:152-220): probe clips → LSH-band lookup against the
- * STORED signature table → exact verify (text jaccard / audio jaccard + PCM
- * confirm / exact-identity) → per-probe top-k. Never mutates the store (the
- * only way to dedup a new clip before this was a full IncrementalDedup.merge).
+ * (bert_similarity.py:152-220): probe clips → stored-index lookup → exact
+ * verify (text jaccard / audio jaccard + PCM confirm / exact-identity) →
+ * per-probe top-k. Never mutates the store (the only way to dedup a new
+ * clip before this was a full IncrementalDedup.merge).
  *
- * Plan shape: probe-side signatures are computed once (tiny); candidates are
- * an equi shuffle join on hashed band keys against the stored table pruned to
- * (clip_id, sig) columns; byte-heavy verifies semi-join only candidate ids —
- * the same delta-vs-all shape as the incremental merge, so probe batches of
- * any size scale identically.
+ * Plan shape: probe-side signatures are computed once (tiny); the probe's
+ * own band hashes / fingerprints / content keys select which buckets of the
+ * VALUE-BUCKETED index tables to read (LakeTable.readBuckets), so a search
+ * against a 10^12-row store scans O(probe x matched-buckets) — the FAISS
+ * `index.search` equi-cost re-expressed as partition-pruned table reads.
+ * Byte-heavy verifies then read only the candidate ids' buckets of the
+ * signature/clip tables.
  */
 object ClipSearch {
 
@@ -35,33 +37,65 @@ object ClipSearch {
   def search(spark: SparkSession, probes: DataFrame, store: DedupStore,
              cfg: DedupConfig = DedupConfig.default, k: Int = 10,
              includeDeleted: Boolean = false): DataFrame = {
-    val stored = store.signatures.read(spark)
-      .filter(col("is_deleted") === false || lit(includeDeleted))
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val probeSigs = DedupPipeline.signatures(spark, probes, cfg)
       .localCheckpoint(eager = true)
+    def visible(df: DataFrame): DataFrame =
+      df.filter(col("is_deleted") === false || lit(includeDeleted))
 
-    def bandCands(sigCol: String, bands: Int, rows: Int): DataFrame = {
-      val all = LshCandidates.bandKeysHashed(
-        stored.filter(col(sigCol).isNotNull)
-          .select(col("clip_id"), col(sigCol).as("sig")), "clip_id", bands, rows)
-      val p = LshCandidates.bandKeysHashed(
-        probeSigs.filter(col(sigCol).isNotNull)
-          .select(col("clip_id"), col(sigCol).as("sig")), "clip_id", bands, rows)
-      // same hot-band guard as the batch/incremental paths
-      val sizes = all.groupBy("band", "bandVal").agg(count(lit(1)).as("n"))
-      val kept = all.join(sizes.filter(col("n") <= cfg.maxBucketSize),
-        Seq("band", "bandVal"))
-      p.select(col("clip_id").as("probe_id"), col("band"), col("bandVal"))
-        .join(kept.select(col("clip_id").as("match_id"), col("band"), col("bandVal")),
-          Seq("band", "bandVal"))
-        .filter(col("probe_id") =!= col("match_id"))
-        .select("probe_id", "match_id")
-        .dropDuplicates("probe_id", "match_id")
-    }
+    // ---- candidates from the value-bucketed inverted indexes ----
+    val pBands = IncrementalDedup.bandRows(probeSigs, cfg)
+    val storedBands = visible(store.bands.readBuckets(spark,
+      IncrementalDedup.bucketsOf(pBands, store.bands)))
+    // same hot-band guard as the batch/incremental paths (counts complete:
+    // a bandVal's rows all live in one store bucket)
+    val bSizes = storedBands.groupBy("modality", "band", "bandVal")
+      .agg(count(lit(1)).as("n"))
+    val bKept = storedBands.join(bSizes.filter(col("n") <= cfg.maxBucketSize),
+      Seq("modality", "band", "bandVal"))
+    val bandCands = pBands
+      .select(col("clip_id").as("probe_id"), col("modality"), col("band"), col("bandVal"))
+      .join(bKept.select(col("clip_id").as("match_id"), col("modality"), col("band"), col("bandVal")),
+        Seq("modality", "band", "bandVal"))
+      .filter(col("probe_id") =!= col("match_id"))
+      .select("probe_id", "match_id", "modality")
+      .dropDuplicates("probe_id", "match_id", "modality")
+      .persist(MEMORY_AND_DISK)
+
+    val pFps = IncrementalDedup.fpRows(probeSigs)
+    val storedFps = visible(store.fps.readBuckets(spark,
+      IncrementalDedup.bucketsOf(pFps, store.fps)))
+    val fpSizes = storedFps.groupBy("fp").agg(count(lit(1)).as("n"))
+    val fpKept = storedFps.join(fpSizes.filter(col("n") <= cfg.containmentMaxBucket), "fp")
+    val cCands = pFps.select(col("clip_id").as("probe_id"), col("fp"))
+      .join(fpKept.select(col("clip_id").as("match_id"), col("fp")), "fp")
+      .filter(col("probe_id") =!= col("match_id"))
+      .select("probe_id", "match_id")
+      .dropDuplicates("probe_id", "match_id")
+      .persist(MEMORY_AND_DISK)
+
+    // exact identity: probe keys vs the stored key index
+    val pKeys = IncrementalDedup.keyRows(probeSigs)
+    val storedKeys = visible(store.exactKeys.readBuckets(spark,
+      IncrementalDedup.bucketsOf(pKeys, store.exactKeys)))
+    val exact = pKeys.select(col("clip_id").as("probe_id"), col("k"))
+      .join(storedKeys.select(col("clip_id").as("match_id"), col("k")), "k")
+      .filter(col("probe_id") =!= col("match_id"))
+      .select(col("probe_id"), col("match_id"), lit(1.0).as("score"),
+        lit("exact").as("method"))
+      .dropDuplicates("probe_id", "match_id")
+
+    // ---- verify on candidate ids only (bucket-pruned feature reads) ----
+    val matchIds = bandCands.select(col("match_id").as("clip_id"))
+      .union(cCands.select(col("match_id").as("clip_id")))
+      .distinct()
+    val stored = visible(store.signatures.readBuckets(spark,
+      IncrementalDedup.bucketsOf(matchIds, store.signatures)))
+
     val jac = udf((x: Array[Long], y: Array[Long]) => PairVerifier.jaccardLongJvm(x, y))
     val est = udf((x: Array[Long], y: Array[Long]) => PairVerifier.estimateJvm(x, y))
 
-    val tScored = bandCands("tsig", cfg.bands, cfg.rowsPerBand)
+    val tScored = bandCands.filter(col("modality") === "text")
       .join(probeSigs.select(col("clip_id").as("probe_id"), col("tshingles").as("_sa")), "probe_id")
       .join(stored.select(col("clip_id").as("match_id"), col("tshingles").as("_sb")), "match_id")
       .withColumn("score", jac(col("_sa"), col("_sb")))
@@ -69,7 +103,7 @@ object ClipSearch {
       .select(col("probe_id"), col("match_id"), col("score"),
         lit("text_minhash").as("method"))
 
-    val aCand = bandCands("asig", cfg.audioBands, cfg.audioRowsPerBand)
+    val aCand = bandCands.filter(col("modality") === "audio")
       .join(probeSigs.select(col("clip_id").as("probe_id"), col("asig").as("_ea")), "probe_id")
       .join(stored.select(col("clip_id").as("match_id"), col("asig").as("_eb")), "match_id")
       .filter(est(col("_ea"), col("_eb")) >= cfg.audioEstimateMin)
@@ -80,12 +114,13 @@ object ClipSearch {
       .withColumn("score", jac(col("_sa"), col("_sb")))
       .filter(col("score") >= cfg.audioJaccardThreshold)
       .select("probe_id", "match_id", "score")
-    // PCM confirm on survivors only: probe bytes join + stored bytes semi-join
+      .persist(MEMORY_AND_DISK)
+    // PCM confirm on survivors only: probe bytes join + pruned clips read
     val corr = udf((x: Array[Byte], y: Array[Byte]) => PairVerifier.pcmCorrJvm(x, y))
-    val activeClips = store.clips.read(spark)
-      .filter(col("is_deleted") === false || lit(includeDeleted))
     val neededIds = aScored.select(col("match_id").as("clip_id")).distinct()
-    val matchBytes = activeClips.join(neededIds, Seq("clip_id"), "left_semi")
+    val matchBytes = visible(store.clips.readBuckets(spark,
+      IncrementalDedup.bucketsOf(neededIds, store.clips)))
+      .join(neededIds, Seq("clip_id"), "left_semi")
       .select(col("clip_id").as("match_id"), col("bytes").as("_bb"), col("sr_hz").as("_srb"))
     val probeBytes = probes.select(col("clip_id").as("probe_id"),
       col("bytes").as("_ba"), col("sr_hz").as("_sra"))
@@ -95,21 +130,10 @@ object ClipSearch {
       .select(col("probe_id"), col("match_id"), col("score"),
         lit("audio_minhash").as("method"))
 
-    // containment: probe winnowing fingerprints vs stored fingerprints,
-    // exact longest-common-run confirm (same three-tier verify as the batch
-    // pass, ContainmentJoin.pairsFromFps)
-    val cj = graft.operators.ContainmentJoin
+    // containment: gram prefilter + exact longest-common-run confirm (same
+    // three-tier verify as the batch pass, ContainmentJoin.pairsFromFps)
+    val cj = ContainmentJoin
     val w = cfg.containmentMinRun - cj.GramK + 1
-    val sFps = stored.select(col("clip_id").as("match_id"), explode(col("cfps")).as("fp"))
-    val fpSizes = sFps.groupBy("fp").agg(count(lit(1)).as("n"))
-    // containmentMaxBucket, matching the batch (ContainmentJoin.pairsFromFps)
-    // and incremental paths: boilerplate fingerprints are dropped everywhere
-    val keptFps = sFps.join(fpSizes.filter(col("n") <= cfg.containmentMaxBucket), "fp")
-    val cCands = probeSigs
-      .select(col("clip_id").as("probe_id"), explode(col("cfps")).as("fp"))
-      .join(keptFps, "fp")
-      .filter(col("probe_id") =!= col("match_id"))
-      .select("probe_id", "match_id").dropDuplicates("probe_id", "match_id")
     val cScored = cCands
       .join(probeSigs.select(col("clip_id").as("probe_id"),
         lower(col("transcript")).as("_ta"),
@@ -121,19 +145,6 @@ object ClipSearch {
       .filter(cj.lcrUdf(col("_ta"), col("_tb")) >= cfg.containmentMinRun)
       .select(col("probe_id"), col("match_id"), lit(0.9).as("score"),
         lit("containment").as("method"))
-
-    // exact identity: content sha or (non-empty) transcript hash
-    val pKeys = probeSigs.select(col("clip_id").as("probe_id"),
-      explode(filter(array(concat(lit("s:"), col("sha")),
-        concat(lit("t:"), col("tHashExact"))), x => x.isNotNull)).as("k"))
-    val sKeys = stored.select(col("clip_id").as("match_id"),
-      explode(filter(array(concat(lit("s:"), col("sha")),
-        concat(lit("t:"), col("tHashExact"))), x => x.isNotNull)).as("k"))
-    val exact = pKeys.join(sKeys, "k")
-      .filter(col("probe_id") =!= col("match_id"))
-      .select(col("probe_id"), col("match_id"), lit(1.0).as("score"),
-        lit("exact").as("method"))
-      .dropDuplicates("probe_id", "match_id")
 
     val allScored = exact.unionByName(tScored).unionByName(aConfirmed)
       .unionByName(cScored)

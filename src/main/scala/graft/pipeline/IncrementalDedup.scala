@@ -7,12 +7,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The engine's persistent state: Iceberg-shaped tables (LakeTable shim),
-  * hash-bucketed by their key so merges rewrite only touched buckets. */
+  * hash-bucketed by their key so merges rewrite only touched buckets.
+  *
+  * Row tables bucket by id; the three INVERTED-INDEX tables bucket by their
+  * JOIN VALUE (band hash / winnowing fingerprint / exact-content key), so a
+  * delta or probe batch computes its own values, maps them to bucket ids,
+  * and reads ONLY those buckets — the candidate join against a 10^12-row
+  * corpus scans O(delta x matched-buckets), never the corpus (the
+  * reference's FAISS index lookup re-expressed as bucket-pruned table
+  * reads; "the table IS the index", SURVEY.md S5). */
 final class DedupStore(val root: String, val numBuckets: Int = 32) {
   val clips = new LakeTable(root, "clips", "clip_id", numBuckets)
   val signatures = new LakeTable(root, "signatures", "clip_id", numBuckets)
   val dupPairs = new LakeTable(root, "dup_pairs", "a", numBuckets)
   val clusters = new LakeTable(root, "clusters", "clip_id", numBuckets)
+  // inverted indexes (value-bucketed); rows carry is_deleted so tombstoned
+  // clips stay searchable with includeDeleted (v3 semantics) until compact
+  val bands = new LakeTable(root, "bands", "bandVal", numBuckets)
+  val fps = new LakeTable(root, "fps", "fp", numBuckets)
+  val exactKeys = new LakeTable(root, "exact_keys", "k", numBuckets)
 }
 
 /**
@@ -22,16 +35,51 @@ final class DedupStore(val root: String, val numBuckets: Int = 32) {
  * unchanged reused) and its v3 tombstone semantics
  * (incremental_faiss_detector.py:74-87 — deletes preserved, excluded from
  * search). Per the north rule: new clips dedup against the existing corpus
- * WITHOUT full recompute — only the delta is re-signed, candidates are
- * generated delta-vs-all through the same LSH bands, and cluster labels are
- * repaired by re-running connected components on the touched subgraph only.
+ * WITHOUT full recompute — only the delta is re-signed, candidates come
+ * from bucket-pruned reads of the stored band/fingerprint/key indexes, and
+ * cluster labels are repaired by re-running connected components on the
+ * touched subgraph only.
  *
- * Scale notes: the delta-vs-all candidate join is an equi shuffle join on
- * band keys (the stored side is read pruned to (clip_id, sig) columns);
- * byte-heavy verifies semi-join only the ids that appear in candidate pairs;
- * untouched components never leave their parquet files.
+ * Scale notes: every read of a big table in this path is bucket-pruned
+ * (readBuckets) to the delta's own hash values or the candidate endpoints;
+ * the single full-table scan left is the 2-column clusters read that finds
+ * members of touched components (pruning it needs a component-bucketed
+ * mirror — noted, not yet needed at current scale).
  */
 object IncrementalDedup {
+
+  // ---- inverted-index row builders (pure functions of a signature DF) ----
+
+  /** (clip_id, modality, band, bandVal) for both LSH modalities. */
+  def bandRows(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val t = LshCandidates.bandKeysHashed(sigs.filter(col("tsig").isNotNull)
+        .select(col("clip_id"), col("tsig").as("sig")),
+        "clip_id", cfg.bands, cfg.rowsPerBand)
+      .select(col("clip_id"), lit("text").as("modality"), col("band"), col("bandVal"))
+    val a = LshCandidates.bandKeysHashed(sigs.filter(col("asig").isNotNull)
+        .select(col("clip_id"), col("asig").as("sig")),
+        "clip_id", cfg.audioBands, cfg.audioRowsPerBand)
+      .select(col("clip_id"), lit("audio").as("modality"), col("band"), col("bandVal"))
+    t.unionByName(a)
+  }
+
+  /** (clip_id, fp) winnowing fingerprints. */
+  def fpRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("clip_id"), explode(col("cfps")).as("fp"))
+
+  /** (clip_id, k) tagged exact-content keys (s:sha / t:transcript-hash;
+    * the t: key is absent for empty transcripts — same guard as the batch
+    * exact stage). */
+  def keyRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("clip_id"), explode(filter(array(
+      concat(lit("s:"), col("sha")), concat(lit("t:"), col("tHashExact"))),
+      x => x.isNotNull)).as("k"))
+
+  /** Distinct store-bucket ids of `df`'s key column — the tiny driver action
+    * (<= numBuckets ints) that turns a delta's values into a pruned read. */
+  private[pipeline] def bucketsOf(df: DataFrame, t: LakeTable): Set[Int] =
+    df.select(t.bucketOf.cast("int").as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
 
   /** Full rebuild (the reference's --force-rebuild, G6). */
   def initialize(spark: SparkSession, clipsDf: DataFrame, cfg: DedupConfig,
@@ -47,6 +95,12 @@ object IncrementalDedup {
         Seq("clip_id"), "left")
       .select(col("clip_id"), coalesce(col("component"), col("clip_id")).as("component"))
     store.clusters.commit(assign, "create")
+    store.bands.commit(bandRows(res.signatures, cfg)
+      .withColumn("is_deleted", lit(false)), "create")
+    store.fps.commit(fpRows(res.signatures)
+      .withColumn("is_deleted", lit(false)), "create")
+    store.exactKeys.commit(keyRows(res.signatures)
+      .withColumn("is_deleted", lit(false)), "create")
     res.signatures.unpersist(); res.dupPairs.unpersist()
   }
 
@@ -63,18 +117,17 @@ object IncrementalDedup {
       .getOrElse(Seq.empty[String].toDF("clip_id"))
       .select(col("clip_id")).persist(MEMORY_AND_DISK)
 
-    val prevSigs = store.signatures.read(spark)
-    val prevClips = store.clips.read(spark)
-
     // ---- 1. change detection (J8): content hash diff on the key ----
     // Same 256-bit transcript identity as the batch signature pass (NULL for
     // empty transcripts), compared null-safely. A match against a TOMBSTONED
     // row classifies as 'changed': re-ingesting previously deleted content
     // must resurrect it (re-signed with is_deleted=false), not silently no-op.
+    // The previous-signature lookup is bucket-pruned to the incoming ids.
     val incKeys = incoming.select(col("clip_id"),
       sha2(col("bytes"), 256).as("_sha"),
       when(length(col("transcript")) > 0, sha2(col("transcript"), 256)).as("_th"))
-    val existingKeys = prevSigs.select(
+    val incBkts = bucketsOf(incoming.select("clip_id"), store.signatures)
+    val existingKeys = store.signatures.readBuckets(spark, incBkts).select(
       col("clip_id"), col("sha"), col("tHashExact"), col("is_deleted").as("_tomb"))
     val classified = incKeys.join(existingKeys, Seq("clip_id"), "left")
       .select(col("clip_id"),
@@ -85,91 +138,126 @@ object IncrementalDedup {
       .persist(MEMORY_AND_DISK)
     val deltaIds = classified.filter(col("kind") =!= "unchanged").select("clip_id")
     val changedIds = classified.filter(col("kind") === "changed").select("clip_id")
+    val invalid = deltaIds.union(deletes).distinct().persist(MEMORY_AND_DISK)
 
     // ---- 2. re-sign ONLY the delta ----
     val deltaClips = incoming.join(deltaIds, "clip_id")
       .persist(MEMORY_AND_DISK)
     val deltaSigs = DedupPipeline.signatures(spark, deltaClips, cfg)
       .localCheckpoint(eager = true)
-
-    // ---- 3. MERGE the state tables (tombstones, not physical deletes) ----
-    val sigsWithTombstones = prevSigs.join(deltaIds, Seq("clip_id"), "left_anti")
-      .unionByName(deltaSigs.withColumn("is_deleted", lit(false)))
-      .join(deletes.withColumn("_del", lit(true)), Seq("clip_id"), "left")
-      .withColumn("is_deleted", col("is_deleted") || coalesce(col("_del"), lit(false)))
-      .drop("_del")
-      .persist(MEMORY_AND_DISK)
-    val mergedClips = prevClips.join(deltaIds, Seq("clip_id"), "left_anti")
-      .unionByName(deltaClips.withColumn("is_deleted", lit(false)))
-      .join(deletes.withColumn("_del", lit(true)), Seq("clip_id"), "left")
-      .withColumn("is_deleted", col("is_deleted") || coalesce(col("_del"), lit(false)))
-      .drop("_del")
-
-    // active = visible to search/clustering (reference's tombstone filter F5)
-    val activeSigs = sigsWithTombstones.filter(!col("is_deleted"))
-      .localCheckpoint(eager = true)
+    val sigCols = deltaSigs.columns.toSeq
     val activeDelta = deltaSigs.join(deletes, Seq("clip_id"), "left_anti")
       .localCheckpoint(eager = true)
 
-    // ---- 4. candidates: delta vs all-active, same LSH bands ----
-    def bandJoin(sigCol: String, bands: Int, rows: Int): DataFrame = {
-      val all = LshCandidates.bandKeysHashed(
-        activeSigs.filter(col(sigCol).isNotNull).select(col("clip_id"), col(sigCol).as("sig")),
-        "clip_id", bands, rows)
-      val delta = LshCandidates.bandKeysHashed(
-        activeDelta.filter(col(sigCol).isNotNull).select(col("clip_id"), col(sigCol).as("sig")),
-        "clip_id", bands, rows)
-      // bucket-size guard on the full side (same skew story as the batch path)
-      val sizes = all.groupBy("band", "bandVal").agg(count(lit(1)).as("n"))
-      val kept = all.join(sizes.filter(col("n") <= cfg.maxBucketSize), Seq("band", "bandVal"))
-      delta.select(col("clip_id").as("d"), col("band"), col("bandVal"))
-        .join(kept.select(col("clip_id").as("o"), col("band"), col("bandVal")),
-          Seq("band", "bandVal"))
-        .filter(col("d") =!= col("o"))
-        .select(least(col("d"), col("o")).as("a"), greatest(col("d"), col("o")).as("b"))
-        .dropDuplicates("a", "b")
-    }
+    // previous signature rows of invalidated ids — locates every stale
+    // index row (index rows are a deterministic function of the signature)
+    val invalidSigBkts = bucketsOf(invalid, store.signatures)
+    val oldSigs = store.signatures.readBuckets(spark, invalidSigBkts)
+      .join(invalid, Seq("clip_id"), "left_semi")
+      .select(sigCols.map(col): _*)
+      .localCheckpoint(eager = true)
 
-    val tCands = bandJoin("tsig", cfg.bands, cfg.rowsPerBand)
-    val textPairs = PairVerifier.verify(tCands, activeSigs, "clip_id", "tshingles",
+    // ---- 3. candidates: delta values -> bucket-pruned index reads ----
+    val deltaBands = bandRows(activeDelta, cfg).persist(MEMORY_AND_DISK)
+    val bandBkts = bucketsOf(deltaBands, store.bands)
+    val storedBands = store.bands.readBuckets(spark, bandBkts)
+      .filter(!col("is_deleted"))
+      .join(invalid, Seq("clip_id"), "left_anti")
+      .select("clip_id", "modality", "band", "bandVal")
+    val allBands = storedBands.unionByName(deltaBands)
+    // bucket-size guard (same skew story as the batch path): counts are
+    // complete because a bandVal's rows all live in one store bucket
+    val bSizes = allBands.groupBy("modality", "band", "bandVal")
+      .agg(count(lit(1)).as("n"))
+    val bKept = allBands.join(bSizes.filter(col("n") <= cfg.maxBucketSize),
+      Seq("modality", "band", "bandVal"))
+    val bandCands = deltaBands
+      .select(col("clip_id").as("d"), col("modality"), col("band"), col("bandVal"))
+      .join(bKept.select(col("clip_id").as("o"), col("modality"), col("band"), col("bandVal")),
+        Seq("modality", "band", "bandVal"))
+      .filter(col("d") =!= col("o"))
+      .select(col("modality"), least(col("d"), col("o")).as("a"),
+        greatest(col("d"), col("o")).as("b"))
+      .dropDuplicates("a", "b", "modality")
+      .persist(MEMORY_AND_DISK)
+    val tCands = bandCands.filter(col("modality") === "text").select("a", "b")
+    val aCands = bandCands.filter(col("modality") === "audio").select("a", "b")
+
+    // containment candidates: delta fingerprints vs stored fingerprint index
+    val deltaFps = fpRows(activeDelta).persist(MEMORY_AND_DISK)
+    val fpBkts = bucketsOf(deltaFps, store.fps)
+    val storedFps = store.fps.readBuckets(spark, fpBkts)
+      .filter(!col("is_deleted"))
+      .join(invalid, Seq("clip_id"), "left_anti")
+      .select("clip_id", "fp")
+    val allFps = storedFps.unionByName(deltaFps)
+    val fSizes = allFps.groupBy("fp").agg(count(lit(1)).as("n"))
+    val fKept = allFps.join(fSizes.filter(col("n") <= cfg.containmentMaxBucket), "fp")
+    val cCands = deltaFps.select(col("clip_id").as("d"), col("fp"))
+      .join(fKept.select(col("clip_id").as("o"), col("fp")), "fp")
+      .filter(col("d") =!= col("o"))
+      .select(least(col("d"), col("o")).as("a"), greatest(col("d"), col("o")).as("b"))
+      .dropDuplicates("a", "b")
+      .persist(MEMORY_AND_DISK)
+
+    // exact dups: delta keys vs stored key index, ONE edge per (delta, key)
+    // to the group minimum — linear in delta, never in group size; CC
+    // transitivity chains the rest of the group through its existing edges
+    val deltaKeys = keyRows(activeDelta).persist(MEMORY_AND_DISK)
+    val keyBkts = bucketsOf(deltaKeys, store.exactKeys)
+    val storedKeys = store.exactKeys.readBuckets(spark, keyBkts)
+      .filter(!col("is_deleted"))
+      .join(invalid, Seq("clip_id"), "left_anti")
+      .select("clip_id", "k")
+    val keyHeads = storedKeys.unionByName(deltaKeys)
+      .groupBy("k").agg(min("clip_id").as("o"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val exactEdges = deltaKeys.select(col("clip_id").as("d"), col("k"))
+      .join(keyHeads, "k")
+      .filter(col("d") =!= col("o"))
+      .select(least(col("d"), col("o")).as("a"), greatest(col("d"), col("o")).as("b"))
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), lit(1.0).as("score"), lit("exact").as("method"))
+
+    // ---- 4. verify on candidate endpoints only (bucket-pruned features) ----
+    val endIds = bandCands.select(col("a").as("clip_id"))
+      .union(bandCands.select(col("b").as("clip_id")))
+      .union(cCands.select(col("a").as("clip_id")))
+      .union(cCands.select(col("b").as("clip_id")))
+      .distinct()
+    val featBkts = bucketsOf(endIds, store.signatures)
+    val feats = store.signatures.readBuckets(spark, featBkts)
+      .filter(!col("is_deleted"))
+      .join(deltaIds, Seq("clip_id"), "left_anti")
+      .select(sigCols.map(col): _*)
+      .unionByName(activeDelta)
+      .persist(MEMORY_AND_DISK)
+
+    val textPairs = PairVerifier.verify(tCands, feats, "clip_id", "tshingles",
       cfg.textJaccardThreshold, "text_minhash")
-
-    val aCands = bandJoin("asig", cfg.audioBands, cfg.audioRowsPerBand)
-    val aPlausible = PairVerifier.estimateScreen(aCands, activeSigs, "clip_id", "asig",
-      cfg.audioEstimateMin)
-    val audioScreened = PairVerifier.verify(aPlausible, activeSigs, "clip_id", "ashingles",
+    val aPlausible = PairVerifier.estimateScreen(aCands, feats, "clip_id", "asig",
+      cfg.audioEstimateMin).persist(MEMORY_AND_DISK)
+    val audioScreened = PairVerifier.verify(aPlausible, feats, "clip_id", "ashingles",
       cfg.audioJaccardThreshold, "audio_minhash").persist(MEMORY_AND_DISK)
-    val activeClips = mergedClips.filter(!col("is_deleted"))
+    // PCM confirm bytes: pruned clips read for the screened endpoints
+    val aIds = audioScreened.select(col("a").as("clip_id"))
+      .union(audioScreened.select(col("b").as("clip_id"))).distinct()
+    val clipBkts = bucketsOf(aIds, store.clips)
+    val clipCols = deltaClips.columns.toSeq
+    val activeClips = store.clips.readBuckets(spark, clipBkts)
+      .filter(!col("is_deleted"))
+      .join(deltaIds, Seq("clip_id"), "left_anti")
+      .select(clipCols.map(col): _*)
+      .unionByName(deltaClips.join(deletes, Seq("clip_id"), "left_anti"))
     val audioPairs = PairVerifier.pcmConfirm(audioScreened, activeClips, "clip_id",
       cfg.pcmCorrMin)
 
-    // exact dups: delta keys vs all-active keys
-    val exactEdges = {
-      val allK = activeSigs.select(col("clip_id").as("o"), col("sha"), col("tHashExact"))
-      val dK = activeDelta.select(col("clip_id").as("d"), col("sha"), col("tHashExact"))
-      val bySha = dK.join(allK, "sha").select(col("d"), col("o"))
-      val byTxt = dK.join(allK.withColumnRenamed("sha", "_s"), "tHashExact")
-        .select(col("d"), col("o"))
-      bySha.union(byTxt).filter(col("d") =!= col("o"))
-        .select(least(col("d"), col("o")).as("a"), greatest(col("d"), col("o")).as("b"))
-        .dropDuplicates("a", "b")
-        .select(col("a"), col("b"), lit(1.0).as("score"), lit("exact").as("method"))
-    }
-
-    // containment: delta fingerprints vs all-active fingerprints
+    // containment verify: gram prefilter + exact LCS on candidate endpoints
     val containPairs = {
-      val allFps = activeSigs.select(col("clip_id"), explode(col("cfps")).as("fp"))
-      val dFps = activeDelta.select(col("clip_id").as("d"), explode(col("cfps")).as("fp"))
-      val sizes = allFps.groupBy("fp").agg(count(lit(1)).as("n"))
-      val kept = allFps.join(sizes.filter(col("n") <= cfg.containmentMaxBucket), "fp")
-      val cands = dFps.join(kept.select(col("clip_id").as("o"), col("fp")), "fp")
-        .filter(col("d") =!= col("o"))
-        .select(least(col("d"), col("o")).as("a"), greatest(col("d"), col("o")).as("b"))
-        .dropDuplicates("a", "b")
-      val txt = activeSigs.select(col("clip_id"), lower(col("transcript")).as("_lt"),
+      val txt = feats.select(col("clip_id"), lower(col("transcript")).as("_lt"),
         ContainmentJoin.gramsUdf(lower(col("transcript"))).as("_g"))
       val w = cfg.containmentMinRun - ContainmentJoin.GramK + 1
-      cands
+      cCands
         .join(txt.select(col("clip_id").as("a"), col("_lt").as("_ta"), col("_g").as("_ga")), "a")
         .join(txt.select(col("clip_id").as("b"), col("_lt").as("_tb"), col("_g").as("_gb")), "b")
         .filter(ContainmentJoin.sharedUdf(col("_ga"), col("_gb")) >= w)
@@ -182,20 +270,11 @@ object IncrementalDedup {
       .dropDuplicates("a", "b")
       .localCheckpoint(eager = true)
 
-    // ---- 5. merge the edge table: stale edges (touching changed/deleted
-    //         ids) die; delta-derived edges arrive ----
-    val invalid = changedIds.union(deletes).distinct()
-    val prevPairs = store.dupPairs.read(spark)
-    val keptPairs = prevPairs
-      .join(invalid.withColumnRenamed("clip_id", "a"), Seq("a"), "left_anti")
-      .join(invalid.withColumnRenamed("clip_id", "b"), Seq("b"), "left_anti")
-    val mergedPairs = keptPairs.unionByName(newPairs)
-      .dropDuplicates("a", "b")
-      .persist(MEMORY_AND_DISK)
-
-    // ---- 6. cluster repair on the touched subgraph only ----
-    val prevAssign = store.clusters.read(spark) // clip_id, component
-    // components touched by: new edges' endpoints, changed ids, deleted ids
+    // ---- 5. cluster repair on the touched subgraph only ----
+    // 2-column scan of the clusters table: membership of touched components
+    // cannot be bucket-pruned while the table buckets by clip_id (a
+    // component-bucketed mirror would fix it; not yet needed)
+    val prevAssign = store.clusters.read(spark)
     val touchedNodes = newPairs.select(col("a").as("clip_id"))
       .union(newPairs.select(col("b").as("clip_id")))
       .union(invalid)
@@ -207,37 +286,31 @@ object IncrementalDedup {
       .union(touchedNodes) // brand-new ids have no previous assignment
       .distinct()
       .persist(MEMORY_AND_DISK)
-    // subgraph = all surviving edges with an affected endpoint (edges stay
-    // inside components, so affected-by-a covers affected-by-b for old
-    // edges; new edges' endpoints are affected by construction)
-    val subEdges = mergedPairs
-      .join(affectedNodes.withColumnRenamed("clip_id", "a"), Seq("a"))
+    // surviving edges with an affected endpoint: edges stay inside
+    // components, so the a-buckets of affected nodes cover them
+    val affPairBkts = bucketsOf(affectedNodes.withColumnRenamed("clip_id", "a"),
+      store.dupPairs)
+    val invalidA = invalid.withColumnRenamed("clip_id", "a")
+    val invalidB = invalid.withColumnRenamed("clip_id", "b")
+    val prevPairsAff = store.dupPairs.readBuckets(spark, affPairBkts)
+      .persist(MEMORY_AND_DISK)
+    val subEdges = prevPairsAff
+      .join(invalidA, Seq("a"), "left_anti")
+      .join(invalidB, Seq("b"), "left_anti")
       .select("a", "b")
+      .unionByName(newPairs.select("a", "b"))
+      .join(affectedNodes.withColumnRenamed("clip_id", "a"), Seq("a"))
       .persist(MEMORY_AND_DISK)
     val repaired = ConnectedComponents.run(subEdges, nEdgesHint = subEdges.count())
       .select(col("node").as("clip_id"), col("component"))
-    val activeIds = activeSigs.select(col("clip_id"))
-    val newAssign = activeIds
-      .join(affectedNodes.withColumn("_aff", lit(true)), Seq("clip_id"), "left")
-      .join(prevAssign.withColumnRenamed("component", "_old"), Seq("clip_id"), "left")
-      .join(repaired.withColumnRenamed("component", "_new"), Seq("clip_id"), "left")
-      .select(col("clip_id"),
-        coalesce(
-          when(col("_aff").isNotNull, coalesce(col("_new"), col("clip_id")))
-            .otherwise(col("_old")),
-          col("clip_id")).as("component"))
 
-    // ---- 7. commit (snapshot isolation: readers flip atomically) ----
-    // O(delta) I/O: only buckets containing a changed/deleted id are read
-    // (bucket-pruned) and rewritten; every untouched bucket's files are
-    // reused by the new snapshot via the manifest. Compute above is already
-    // O(delta); without this, every merge rewrote the full corpus — the
-    // scale-killer for "new clips dedup without full recompute" at 10^12.
+    // ---- 6. commit (snapshot isolation: readers flip atomically) ----
+    // O(delta) I/O: only buckets containing a changed/deleted id (row
+    // tables) or a delta hash value (index tables) are read and rewritten;
+    // every untouched bucket's files are reused via the manifest.
     val nDelta = deltaClips.count()
     val touchedIds = deltaIds.union(deletes)
-    val touchedIdBuckets = touchedIds
-      .select(store.signatures.bucketOf.cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val touchedIdBuckets = bucketsOf(touchedIds, store.signatures)
     def applyDeletes(df: DataFrame): DataFrame = df
       .join(deletes.withColumn("_del", lit(true)), Seq("clip_id"), "left")
       .withColumn("is_deleted", col("is_deleted") || coalesce(col("_del"), lit(false)))
@@ -255,16 +328,27 @@ object IncrementalDedup {
     store.signatures.commitDelta(touchedSigs, touchedIdBuckets, "merge",
       Map("delta_rows" -> nDelta))
 
+    // index tables: stale rows of delta ids die, delta rows arrive, rows of
+    // deleted ids stay but are tombstone-flagged (searchable until compact)
+    def updateIndex(t: LakeTable, newRows: DataFrame, oldRows: DataFrame): Unit = {
+      val touched = bucketsOf(newRows, t) ++ bucketsOf(oldRows, t)
+      val content = applyDeletes(
+        t.readBuckets(spark, touched)
+          .join(deltaIds, Seq("clip_id"), "left_anti")
+          .unionByName(newRows.withColumn("is_deleted", lit(false))))
+      t.commitDelta(content, touched, "merge")
+    }
+    updateIndex(store.bands, deltaBands, bandRows(oldSigs, cfg))
+    updateIndex(store.fps, deltaFps, fpRows(oldSigs))
+    updateIndex(store.exactKeys, deltaKeys, keyRows(oldSigs))
+
     val nNew = newPairs.count()
-    val invalidA = invalid.withColumnRenamed("clip_id", "a")
-    val invalidB = invalid.withColumnRenamed("clip_id", "b")
-    // pairs bucket on `a`; an edge dies if EITHER endpoint is invalid, so the
-    // touched set is the a-buckets of removed edges plus new edges' a-buckets
-    val removedA = prevPairs.join(invalidA, Seq("a"), "left_semi").select("a")
-      .union(prevPairs.join(invalidB, Seq("b"), "left_semi").select("a"))
-    val touchedPairBuckets = removedA.union(newPairs.select("a"))
-      .select(store.dupPairs.bucketOf.cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // pairs bucket on `a`; an edge dies if EITHER endpoint is invalid, and
+    // all such edges live in affected components (pruned read above)
+    val removedA = prevPairsAff.join(invalidA, Seq("a"), "left_semi").select("a")
+      .union(prevPairsAff.join(invalidB, Seq("b"), "left_semi").select("a"))
+    val touchedPairBuckets = bucketsOf(
+      removedA.union(newPairs.select("a")), store.dupPairs)
     val touchedPairs = store.dupPairs.readBuckets(spark, touchedPairBuckets)
       .join(invalidA, Seq("a"), "left_anti")
       .join(invalidB, Seq("b"), "left_anti")
@@ -273,29 +357,46 @@ object IncrementalDedup {
     store.dupPairs.commitDelta(touchedPairs, touchedPairBuckets, "merge",
       Map("new_pairs" -> nNew))
 
-    // untouched nodes keep rows identical to the previous snapshot, so only
-    // buckets holding an affected/new/deleted id need rewriting
-    val clusterTouched = affectedNodes.select("clip_id").union(touchedIds)
-      .select(store.clusters.bucketOf.cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // clusters: rebuild complete rows for touched buckets only (unchanged
+    // rows reread from the pruned slice, affected rows repaired, deleted
+    // rows dropped, brand-new actives added)
+    val clusterTouched = bucketsOf(
+      affectedNodes.select("clip_id").union(touchedIds), store.clusters)
+    val prevTouchedAssign = store.clusters.readBuckets(spark, clusterTouched)
+      .persist(MEMORY_AND_DISK)
+    val baseIds = prevTouchedAssign.select("clip_id")
+      .union(deltaIds)
+      .distinct()
+      .join(deletes, Seq("clip_id"), "left_anti")
+    val newAssign = baseIds
+      .join(affectedNodes.withColumn("_aff", lit(true)), Seq("clip_id"), "left")
+      .join(prevTouchedAssign.withColumnRenamed("component", "_old"), Seq("clip_id"), "left")
+      .join(repaired.withColumnRenamed("component", "_new"), Seq("clip_id"), "left")
+      .select(col("clip_id"),
+        coalesce(
+          when(col("_aff").isNotNull, coalesce(col("_new"), col("clip_id")))
+            .otherwise(col("_old")),
+          col("clip_id")).as("component"))
     store.clusters.commitDelta(newAssign, clusterTouched, "merge")
 
-    Seq(deletes, classified, deltaClips, audioScreened, mergedPairs, affectedNodes,
-      subEdges).foreach(_.unpersist())
+    Seq(deletes, classified, invalid, deltaClips, deltaBands, bandCands,
+      deltaFps, cCands, deltaKeys, feats, aPlausible, audioScreened,
+      affectedNodes, prevPairsAff, subEdges, prevTouchedAssign)
+      .foreach(_.unpersist())
   }
 
   /** Physical cleanup — the reference v3 `cleanup` mode
     * (incremental_faiss_detector.py:775-810): tombstoned rows are dropped
-    * from clips/signatures (they are already absent from pairs/clusters),
-    * then all but the newest `retain` snapshots of every table are expired
-    * and their unreferenced data files deleted. Without this a long-running
-    * store grows without bound in both data and snapshot count. */
+    * from clips/signatures and the inverted indexes (they are already absent
+    * from pairs/clusters), then all but the newest `retain` snapshots of
+    * every table are expired and their unreferenced data files deleted.
+    * Without this a long-running store grows without bound in both data and
+    * snapshot count. */
   def compact(spark: SparkSession, store: DedupStore, retain: Int = 1): Unit = {
-    store.clips.commit(
-      store.clips.read(spark).filter(!col("is_deleted")), "compact")
-    store.signatures.commit(
-      store.signatures.read(spark).filter(!col("is_deleted")), "compact")
-    Seq(store.clips, store.signatures, store.dupPairs, store.clusters)
+    Seq(store.clips, store.signatures, store.bands, store.fps, store.exactKeys)
+      .foreach(t => t.commit(t.read(spark).filter(!col("is_deleted")), "compact"))
+    Seq(store.clips, store.signatures, store.dupPairs, store.clusters,
+      store.bands, store.fps, store.exactKeys)
       .foreach(_.expireSnapshots(retain))
   }
 }
