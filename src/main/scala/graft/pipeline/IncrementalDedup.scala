@@ -26,6 +26,9 @@ final class DedupStore(val root: String, val numBuckets: Int = 32) {
   val bands = new LakeTable(root, "bands", "bandVal", numBuckets)
   val fps = new LakeTable(root, "fps", "fp", numBuckets)
   val exactKeys = new LakeTable(root, "exact_keys", "k", numBuckets)
+  // component-bucketed mirror of clusters: merge repair needs "all members
+  // of these components", which the id-bucketed table cannot prune
+  val clustersByComp = new LakeTable(root, "clusters_by_comp", "component", numBuckets)
 }
 
 /**
@@ -41,10 +44,9 @@ final class DedupStore(val root: String, val numBuckets: Int = 32) {
  * touched subgraph only.
  *
  * Scale notes: every read of a big table in this path is bucket-pruned
- * (readBuckets) to the delta's own hash values or the candidate endpoints;
- * the single full-table scan left is the 2-column clusters read that finds
- * members of touched components (pruning it needs a component-bucketed
- * mirror — noted, not yet needed at current scale).
+ * (readBuckets) to the delta's own hash values, the candidate endpoints,
+ * or the touched component ids (via the component-bucketed clusters
+ * mirror) — no stage of a merge scans the corpus.
  */
 object IncrementalDedup {
 
@@ -95,6 +97,7 @@ object IncrementalDedup {
         Seq("clip_id"), "left")
       .select(col("clip_id"), coalesce(col("component"), col("clip_id")).as("component"))
     store.clusters.commit(assign, "create")
+    store.clustersByComp.commit(assign, "create")
     store.bands.commit(bandRows(res.signatures, cfg)
       .withColumn("is_deleted", lit(false)), "create")
     store.fps.commit(fpRows(res.signatures)
@@ -271,17 +274,22 @@ object IncrementalDedup {
       .localCheckpoint(eager = true)
 
     // ---- 5. cluster repair on the touched subgraph only ----
-    // 2-column scan of the clusters table: membership of touched components
-    // cannot be bucket-pruned while the table buckets by clip_id (a
-    // component-bucketed mirror would fix it; not yet needed)
-    val prevAssign = store.clusters.read(spark)
+    // "members of touched components" via the component-bucketed mirror:
+    // node->component lookups prune by id buckets, membership lookups prune
+    // by component buckets — no full scan anywhere in the repair path
     val touchedNodes = newPairs.select(col("a").as("clip_id"))
       .union(newPairs.select(col("b").as("clip_id")))
       .union(invalid)
       .distinct()
-    val touchedComps = prevAssign.join(touchedNodes, Seq("clip_id"))
+      .persist(MEMORY_AND_DISK)
+    val touchedComps = store.clusters
+      .readBuckets(spark, bucketsOf(touchedNodes, store.clusters))
+      .join(touchedNodes, Seq("clip_id"))
       .select(col("component")).distinct()
-    val affectedNodes = prevAssign.join(touchedComps, Seq("component"))
+      .persist(MEMORY_AND_DISK)
+    val touchedCompBkts = bucketsOf(touchedComps, store.clustersByComp)
+    val affectedNodes = store.clustersByComp.readBuckets(spark, touchedCompBkts)
+      .join(touchedComps, Seq("component"))
       .select(col("clip_id"))
       .union(touchedNodes) // brand-new ids have no previous assignment
       .distinct()
@@ -379,9 +387,23 @@ object IncrementalDedup {
           col("clip_id")).as("component"))
     store.clusters.commitDelta(newAssign, clusterTouched, "merge")
 
+    // mirror: affected ids' rows move between component buckets (old comps
+    // are touched via touchedComps, new comps via the repaired rows)
+    val mirrorNewRows = newAssign.join(
+      affectedNodes.select("clip_id").union(deltaIds).distinct(),
+      Seq("clip_id"), "left_semi")
+    val mirrorTouched = touchedCompBkts ++
+      bucketsOf(mirrorNewRows.select("component"), store.clustersByComp)
+    val mirrorContent = store.clustersByComp.readBuckets(spark, mirrorTouched)
+      .join(affectedNodes.select("clip_id").union(touchedIds).distinct(),
+        Seq("clip_id"), "left_anti")
+      .unionByName(mirrorNewRows)
+    store.clustersByComp.commitDelta(mirrorContent, mirrorTouched, "merge")
+
     Seq(deletes, classified, invalid, deltaClips, deltaBands, bandCands,
       deltaFps, cCands, deltaKeys, feats, aPlausible, audioScreened,
-      affectedNodes, prevPairsAff, subEdges, prevTouchedAssign)
+      touchedNodes, touchedComps, affectedNodes, prevPairsAff, subEdges,
+      prevTouchedAssign)
       .foreach(_.unpersist())
   }
 
@@ -396,7 +418,7 @@ object IncrementalDedup {
     Seq(store.clips, store.signatures, store.bands, store.fps, store.exactKeys)
       .foreach(t => t.commit(t.read(spark).filter(!col("is_deleted")), "compact"))
     Seq(store.clips, store.signatures, store.dupPairs, store.clusters,
-      store.bands, store.fps, store.exactKeys)
+      store.clustersByComp, store.bands, store.fps, store.exactKeys)
       .foreach(_.expireSnapshots(retain))
   }
 }

@@ -44,6 +44,16 @@ class IncrementalSpec extends SparkSpec {
     assert(incr == rebuild,
       s"incremental clusters != rebuild (incr ${incr.size}, rebuild ${rebuild.size}); " +
         s"only-incr=${(incr -- rebuild).take(3)} only-rebuild=${(rebuild -- incr).take(3)}")
+    // the component-bucketed mirror (used to prune "members of touched
+    // components" reads) must stay row-identical to the clusters table
+    val assignRows = store.clusters.read(spark)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val mirrorRows = store.clustersByComp.read(spark)
+      .select("clip_id", "component")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mirrorRows == assignRows,
+      s"clusters_by_comp mirror diverged: only-mirror=${(mirrorRows -- assignRows).take(3)} " +
+        s"only-clusters=${(assignRows -- mirrorRows).take(3)}")
     full.signatures.unpersist(); full.dupPairs.unpersist()
   }
 
