@@ -205,6 +205,69 @@ object Profile {
       return
     }
 
+    if (args.length > 2 && args(2) == "merge") {
+      // incremental-path latency vs store size: initialize an n-clip store,
+      // then merge a 1% delta, re-merge it (no-op), and search 100 probes.
+      // O(delta) holds if the merge/search times are store-size-flat-ish
+      // (bucket-pruned reads) rather than proportional to n.
+      import graft.pipeline.{ClipSearch, DedupStore, IncrementalDedup}
+      val root = new java.io.File(SparkUtil.localDir, s"profile-store-$n")
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
+        f.delete(): Unit
+      }
+      rmr(root)
+      // default 32 buckets: a 20-row delta rewrites <= 20/32 of the row
+      // tables — the demo's pruning granularity. More buckets sharpen the
+      // pruning math but drown local runs in small-file overhead; at
+      // 10^12 scale the file count is 10^5-10^6 and the same math prunes
+      // 1M-row deltas to <1% of files.
+      val store = new DedupStore(root.getAbsolutePath)
+      val dn = 20L
+      // purge leftover storage blocks between phases (leaked blocks inflate
+      // a following phase ~2x via unified-memory eviction churn)
+      def purge(): Unit = {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
+      final case class St(rt: Long, cpu: Long, wall: Long, nt: Int)
+      val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, St]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(0L)
+          stageInfo.put(si.stageId, St(si.taskMetrics.executorRunTime,
+            si.taskMetrics.executorCpuTime / 1000000, wall, si.numTasks))
+        }
+      })
+      time(s"initialize-$n")(
+        IncrementalDedup.initialize(spark, clips, cfg, store))
+      purge()
+      stageInfo.clear()
+      val delta = ClipCorpus.clipsRange(spark, CorpusConfig(seed = 42L, n = n + dn), n, n + dn).toDF()
+      time(s"merge-$dn-delta")(
+        IncrementalDedup.merge(spark, delta, cfg, store))
+      locally {
+        import scala.jdk.CollectionConverters._
+        val stages = stageInfo.asScala.toSeq
+        println(f"[profile] merge stages=${stages.size} sum-wall=${stages.map(_._2.wall).sum / 1000.0}%.1f s sum-run=${stages.map(_._2.rt).sum / 1000.0}%.1f s sum-cpu=${stages.map(_._2.cpu).sum / 1000.0}%.1f s")
+        stages.sortBy(-_._2.wall).take(14).foreach { case (id, s) =>
+          println(f"[profile]   stage $id%4d wall ${s.wall / 1000.0}%7.2f s  run ${s.rt / 1000.0}%7.1f s  cpu ${s.cpu / 1000.0}%7.1f s  ${s.nt}%4d tasks")
+        }
+      }
+      purge()
+      time(s"merge-$dn-noop")(
+        IncrementalDedup.merge(spark, delta, cfg, store))
+      val probes = ClipCorpus.clipsRange(spark,
+        CorpusConfig(seed = 99L, n = 5L), 0L, 5L).toDF()
+        .withColumn("clip_id", concat(lit("probe_"), col("clip_id")))
+      time("search-5-probes")(
+        ClipSearch.search(spark, probes, store, cfg, k = 5).count())
+      rmr(root)
+      spark.stop()
+      return
+    }
+
     if (args.length > 2 && args(2) == "full") {
       // job-level wall times + task-time sums: where serial/driver time hides.
       // Per stage: wall, executor run time, CPU time, GC time, call site —

@@ -34,6 +34,18 @@ object SparkUtil {
       // env knob lets the bench measure that serial floor honestly.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // AQE re-renders the FULL plan explain string on every query-stage
+      // update (AdaptiveSparkPlanExec.onUpdatePlan -> explainString) just to
+      // post a listener event; with deep plans (bucket-pruned multi-table
+      // merges) that is seconds of driver CPU per update and was measured
+      // (jstack) as ~75% of a 20-row incremental merge's wall time. Truncate
+      // the rendering — events/UI only, zero effect on execution.
+      .config("spark.sql.maxPlanStringLength", "8192")
+      // ...and render those event strings in "simple" mode: the default
+      // "formatted" mode walks the whole tree for codegen ids with a
+      // regex-compiling nodeName per node (jstack: Pattern.compile under
+      // TreeNode.nodeName), which truncation alone does not skip.
+      .config("spark.sql.ui.explainMode", "simple")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", localDir)

@@ -142,6 +142,13 @@ object IncrementalDedup {
     val deltaIds = classified.filter(col("kind") =!= "unchanged").select("clip_id")
     val changedIds = classified.filter(col("kind") === "changed").select("clip_id")
     val invalid = deltaIds.union(deletes).distinct().persist(MEMORY_AND_DISK)
+    // "no changes" early-exit (the reference's idempotent update path,
+    // improved_faiss_detector.py:421-427): an all-unchanged batch with no
+    // deletes must not pay the candidate/verify/commit machinery
+    if (invalid.isEmpty) {
+      Seq(deletes, classified, invalid).foreach(_.unpersist())
+      return
+    }
 
     // ---- 2. re-sign ONLY the delta ----
     val deltaClips = incoming.join(deltaIds, "clip_id")
@@ -234,6 +241,9 @@ object IncrementalDedup {
       .join(deltaIds, Seq("clip_id"), "left_anti")
       .select(sigCols.map(col): _*)
       .unionByName(activeDelta)
+      // endpoints only: the bucket slice still holds every co-bucketed row,
+      // and persisting it would cache ~the whole table at small bucket counts
+      .join(endIds, Seq("clip_id"), "left_semi")
       .persist(MEMORY_AND_DISK)
 
     val textPairs = PairVerifier.verify(tCands, feats, "clip_id", "tshingles",

@@ -236,6 +236,17 @@ object ClipCorpus {
       .mapPartitions(_.map(i => genClip(conf, i)))
   }
 
+  /** Clips for an id sub-range of a larger corpus config (delta batches for
+    * incremental tests/profiling — same content as `clips` of the full
+    * range, restricted to [from, to)). */
+  def clipsRange(spark: SparkSession, cc: CorpusConfig, from: Long,
+                 to: Long): Dataset[Clip] = {
+    import spark.implicits._
+    val conf = cc
+    spark.range(from, to, 1, spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(i => genClip(conf, i)))
+  }
+
   def goldenLabels(spark: SparkSession, cc: CorpusConfig): Dataset[GoldenLabel] = {
     import spark.implicits._
     val conf = cc
