@@ -60,11 +60,23 @@ object Bench {
     dt
   }
 
+  /** One probe leg: the full dedup job at `cores` local cores. AQE is OFF in
+    * probe sessions (both levels identically): each AQE query stage is a
+    * blocking ~170 ms driver round-trip — a serial cost that vanishes at
+    * cluster scale where stages run minutes, but biases a small local leg's
+    * N-vs-4N ratio. The headline run keeps AQE on. */
   private def probe(cores: Int, n: Long, fromDir: Option[String]): Double = {
-    val spark = session(cores)
+    val spark = SparkUtil.session(cores, s"graft-probe-$cores", aqe = Some(false))
     val t = dedupSeconds(spark, n, fromDir)
     spark.stop()
     t
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,13 +84,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nClips = ClipQueries.clipCount(sfDir)
     // the scaling probe runs a LARGER corpus than the headline: the pipeline
-    // has a measured ~13 s serial floor per run (driver planning, AQE stage
-    // round-trips, action barriers) that is constant while task work scales
+    // has a measured serial floor per run (driver planning, action barriers;
+    // ~13 s with AQE, ~8 s without) that is constant while task work scales
     // with rows, so small corpora understate the job's true scaling (Amdahl;
-    // at the north star's 10^12 rows the floor is noise). 10x = 200k clips
-    // at sf0.1, sized so the parallel work dwarfs the floor while one
-    // interleaved probe pair still fits the bench budget.
-    val probeClips = if (sfDir.contains("sf0.1")) nClips * 10 else nClips
+    // at the north star's 10^12 rows the floor is noise). 5x = 100k clips
+    // at sf0.1: sized so >= 3 interleaved probe pairs fit the bench budget
+    // (round-2's single 200k pair left the median/discard machinery unused)
+    // while the AQE-off floor stays < 5% of the N leg.
+    val probeClips = sys.env.get("SPARK_GRAFT_PROBE_CLIPS").map(_.toLong)
+      .getOrElse(if (sfDir.contains("sf0.1")) nClips * 5 else nClips)
     // Scaling pair: N=1 vs 4N=4 cores. Measured host ceilings (HwControlsMain,
     // re-verified in-run below): pure CPU scales ~1.0/thread up to 32
     // threads, but MEMORY STREAMING scales only ~1.5-2.6x per 4x threads
@@ -116,71 +130,85 @@ object Bench {
       .toDF().write.mode("overwrite").parquet(stageDir)
     spark.stop()
 
-    // ---- part 2: N vs 4N probe, interleaved, min-of-2 ----
-    // The sandbox VM's effective CPU speed drifts ~2x over minutes (host
-    // contention, no steal reported): interleave levels and take the min per
-    // level so a slow phase cannot bias one side. A soft deadline keeps the
-    // whole bench inside the driver's timeout — reps already taken stand.
+    // ---- part 2: N vs 4N probe — multiple interleaved pairs, median ----
+    // Measurement design (reworked per round-2 verdict):
+    //  * at least MIN_PAIRS (default 3) interleaved rep pairs run even if
+    //    the budget expires (the budget default is sized so they fit); the
+    //    HEADLINE efficiency is the MEDIAN over accepted pairs, never a
+    //    single pair.
+    //  * a fixed 4-thread pure-CPU canary runs adjacent to each leg. A pair
+    //    whose two canaries disagree > 20% saw the host drift mid-pair and
+    //    is DISCARDED from the headline (reported raw for visibility) — not
+    //    "corrected": extrapolating a 1.5 s canary across a minutes-long leg
+    //    produced a physically impossible >1.0 efficiency in the round-2
+    //    driver record.
+    //  * within accepted pairs the residual canary correction
+    //    (raw x cN/c4N, bounded by the 20% gate) is applied and CAPPED at
+    //    1.0 — an efficiency above 1.0 is never reported.
+    //  * probe legs run with AQE off (see `probe`), identically at both
+    //    levels; the remaining serial floor (driver planning + action
+    //    barriers) is MEASURED in-run via a near-zero-work 1k-clip leg per
+    //    level and reported, with a floor-adjusted efficiency (capped at
+    //    1.0) as supplementary Amdahl evidence. Raw median stays first.
     val deadline = System.nanoTime() +
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toLong * 1000000000L
-    // as many interleaved rep PAIRS as the budget allows (>= 1): the host's
-    // speed drifts 2-3x over minutes, so each leg takes its best rep and the
-    // per-rep values are all reported for drift visibility. One pair is
-    // mandatory; the canaries certify within-pair host stability.
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "750").toLong * 1000000000L
+    val minPairs = sys.env.getOrElse("SPARK_GRAFT_MIN_PAIRS", "3").toInt
+    val maxPairsReps = 5
     val repsN = scala.collection.mutable.ArrayBuffer[Double]()
     val reps4N = scala.collection.mutable.ArrayBuffer[Double]()
-    // host-speed canary: a FIXED 4-thread pure-CPU burst before each leg.
-    // The host's effective CPU speed drifts 2-3x over minutes (verified; no
-    // steal reported), which aliases into the N-vs-4N ratio; dividing each
-    // leg's time by the adjacent canary speed cancels first-order drift.
     val canaryN = scala.collection.mutable.ArrayBuffer[Double]()
     val canary4N = scala.collection.mutable.ArrayBuffer[Double]()
-    var (cpuN, memN, allocN) = (0.0, 0.0, 0.0)
-    var (cpu4N, mem4N, alloc4N) = (0.0, 0.0, 0.0)
     var rep = 0
-    while (rep < 1 || System.nanoTime() < deadline) {
+    while (rep < minPairs ||
+        (rep < maxPairsReps && System.nanoTime() < deadline)) {
       canaryN += HwControls.cpuOps(4, 1500)
       repsN += probe(nCores, probeClips, Some(stageDir))
-      cpuN = math.max(cpuN, HwControls.cpuOps(nCores, 3000))
-      memN = math.max(memN, HwControls.memGBps(nCores, 3000))
-      allocN = math.max(allocN, HwControls.allocOps(nCores, 3000))
       canary4N += HwControls.cpuOps(4, 1500)
       reps4N += probe(fourN, probeClips, Some(stageDir))
-      cpu4N = math.max(cpu4N, HwControls.cpuOps(fourN, 3000))
-      mem4N = math.max(mem4N, HwControls.memGBps(fourN, 3000))
-      alloc4N = math.max(alloc4N, HwControls.allocOps(fourN, 3000))
       rep += 1
     }
+    // hardware-ceiling controls ONCE per level (not per pair — 18 s/pair of
+    // budget better spent on rep pairs)
+    val cpuN = HwControls.cpuOps(nCores, 3000)
+    val memN = HwControls.memGBps(nCores, 3000)
+    val allocN = HwControls.allocOps(nCores, 3000)
+    val cpu4N = HwControls.cpuOps(fourN, 3000)
+    val mem4N = HwControls.memGBps(fourN, 3000)
+    val alloc4N = HwControls.allocOps(fourN, 3000)
+    // in-run serial-floor measurement: a near-zero-work leg per level
+    val floorClips = 1000L
+    val floorN = probe(nCores, floorClips, None)
+    val floor4N = probe(fourN, floorClips, None)
     // tmpfs hygiene: the staged corpus lives in /dev/shm
     def rmr(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
       f.delete(): Unit
     }
     rmr(new java.io.File(stageDir))
-    val tN = repsN.min
-    val t4N = reps4N.min
 
+    // pair acceptance: both canaries within 20% (the host did not shift
+    // between the two legs of the pair)
+    val pairs = repsN.indices.map { i =>
+      val raw = repsN(i) / (4.0 * reps4N(i))
+      val cRatio = canaryN(i) / canary4N(i)
+      val ok = cRatio >= 0.8 && cRatio <= 1.25
+      (repsN(i), reps4N(i), raw, math.min(1.0, raw * cRatio), ok)
+    }
+    val accepted = pairs.filter(_._5)
+    val used = if (accepted.nonEmpty) accepted else pairs
+    val canaryUnstable = accepted.isEmpty
+    val eff = median(used.map(_._3))
+    val effCorr = median(used.map(_._4))
+    val tN = median(used.map(_._1))
+    val t4N = median(used.map(_._2))
     val thrN = probeClips / tN
     val thr4N = probeClips / t4N
-    val eff = thr4N / (4.0 * thrN)
-    // per-PAIR efficiencies: adjacent legs share a host-speed window, so the
-    // paired ratio is less drift-biased than min-leg-vs-min-leg (which can
-    // be inflated OR deflated when the two minima land in different windows)
-    val effPairs = repsN.zip(reps4N).map { case (a, b) => a / (4.0 * b) }
-    // drift-corrected: scale each leg's time by (adjacent canary speed /
-    // fastest canary speed) — work done on a half-speed host in 2t counts as
-    // t. Corrected efficiency uses corrected min legs; raw stays reported.
-    val speedRef = (canaryN ++ canary4N).max
-    val corrN = repsN.zip(canaryN).map { case (t, s) => t * s / speedRef }
-    val corr4N = reps4N.zip(canary4N).map { case (t, s) => t * s / speedRef }
-    val effCorr = corrN.min / (4.0 * corr4N.min)
-    val effPairsCorr = corrN.zip(corr4N).map { case (a, b) => a / (4.0 * b) }
-    // the host's own N->4N scaling for pure-CPU, memory-stream, and
-    // allocation work: the measured hardware ceilings. The job's efficiency
-    // is normalized by the MEMORY ceiling — the dedup kernels stream arrays,
-    // and on this host DRAM bandwidth does not grow 4x with 4x threads
-    // (single-node vCPUs share one memory system; the north rule's 4N
-    // EXECUTORS each bring their own).
+    // supplementary Amdahl evidence: subtract the measured serial floor from
+    // each accepted pair's legs (floor > leg cannot happen at probe size;
+    // clamp anyway), cap at 1.0
+    val effFloorAdj = math.min(1.0, median(used.map { case (a, b, _, _, _) =>
+      math.max(a - floorN, 1e-9) / (4.0 * math.max(b - floor4N, 1e-9))
+    }))
     val cpuEff = cpu4N / (4.0 * cpuN)
     val memEff = mem4N / (4.0 * memN)
     val allocEff = alloc4N / (4.0 * allocN)
@@ -189,18 +217,22 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ > 0).sum + tN + t4N
+    val total = results.map(_._2).filter(_ > 0).sum + repsN.sum + reps4N.sum
     def repJson(xs: Seq[Double]): String =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val scaling =
       f"""{"n_cores":$nCores,"four_n_cores":$fourN,"clips":$probeClips,""" +
+        s""""aqe_in_probe":false,""" +
         f""""sec_n":$tN%.3f,"sec_4n":$t4N%.3f,""" +
         s""""sec_n_reps":${repJson(repsN.toSeq)},"sec_4n_reps":${repJson(reps4N.toSeq)},""" +
         f""""clips_per_sec_n":$thrN%.1f,"clips_per_sec_4n":$thr4N%.1f,""" +
         f""""efficiency":$eff%.3f,""" +
-        s""""efficiency_pairs":${repJson(effPairs.toSeq)},""" +
-        f""""efficiency_drift_corrected":$effCorr%.3f,""" +
-        s""""efficiency_pairs_drift_corrected":${repJson(effPairsCorr.toSeq)},""" +
+        s""""efficiency_pairs":${repJson(pairs.map(_._3))},""" +
+        s""""pairs_accepted":${repJson(pairs.map(p => if (p._5) 1.0 else 0.0))},""" +
+        s""""canary_unstable":$canaryUnstable,""" +
+        f""""efficiency_canary_corrected_capped":$effCorr%.3f,""" +
+        f""""serial_floor_sec_n":$floorN%.3f,"serial_floor_sec_4n":$floor4N%.3f,""" +
+        f""""efficiency_floor_adjusted_capped":$effFloorAdj%.3f,""" +
         s""""canary_mops_n":${repJson(canaryN.toSeq.map(_ / 1e6))},""" +
         s""""canary_mops_4n":${repJson(canary4N.toSeq.map(_ / 1e6))},""" +
         f""""cpu_control_mops_n":${cpuN / 1e6}%.1f,"cpu_control_mops_4n":${cpu4N / 1e6}%.1f,""" +

@@ -11,6 +11,30 @@ import org.apache.spark.sql.SparkSession
   * equivalent is NVMe/ramdisk scratch per executor.
   */
 object SparkUtil {
+
+  /** Eager localCheckpoint + a handle to free its blocks.
+    *
+    * Why not .persist(): a cached-but-unCUT DataFrame keeps its full logical
+    * tree, and every downstream reference re-embeds it. Plan RENDERING
+    * (posted with each SQLExecutionStart/AQE event) and parts of
+    * optimization walk that tree per reference — with the pipeline's layered
+    * verify joins the walk is exponential in layer depth (measured: 80M-char
+    * renders, multi-second driver walks per event, on a 120-row corpus).
+    * Checkpointing replaces the tree with a LogicalRDD leaf.
+    *
+    * Why not plain .localCheckpoint(): its RDD blocks are invisible to the
+    * cache manager and leak across jobs (measured ~2x eviction-churn CPU on
+    * later jobs); the returned thunk reaches into the LogicalRDD and frees
+    * them, restoring persist/unpersist discipline. */
+  def checkpointCut(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val cp = df.localCheckpoint(eager = true)
+    val rdd = cp.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    (cp, () => rdd.foreach(_.unpersist(blocking = false)))
+  }
+
   def localDir: String = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {
@@ -20,7 +44,7 @@ object SparkUtil {
     } else System.getProperty("java.io.tmpdir")
   }
 
-  def session(cores: Int, appName: String): SparkSession = {
+  def session(cores: Int, appName: String, aqe: Option[Boolean] = None): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -31,9 +55,10 @@ object SparkUtil {
       // design). Each AQE query stage is a blocking driver round-trip
       // (~170 ms measured), which is noise when stages run minutes on a
       // cluster but dominates a small local probe (~74 stages/run) — the
-      // env knob lets the bench measure that serial floor honestly.
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // env knob (or the explicit `aqe` override, used by the scaling
+      // probe's legs) lets the bench measure that serial floor honestly.
+      .config("spark.sql.adaptive.enabled", aqe.map(_.toString)
+        .getOrElse(sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
       // AQE re-renders the FULL plan explain string on every query-stage
       // update (AdaptiveSparkPlanExec.onUpdatePlan -> explainString) just to
       // post a listener event; with deep plans (bucket-pruned multi-table

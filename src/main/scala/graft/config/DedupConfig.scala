@@ -81,6 +81,20 @@ final case class DedupConfig(
   require(audioBands * audioRowsPerBand <= numPerms,
     "audio bands*rows must fit in numPerms")
   def rowsPerBand: Int = numPerms / bands
+
+  /** 64-bit hash of every field the SIGNATURE columns depend on. Folded into
+    * the resume fingerprint: a committed signature stage is only reusable if
+    * it was produced under the same signature-relevant config — resuming a
+    * re-tuned job from signatures computed with the old shingle/permutation
+    * shape would silently produce wrong clusters. */
+  def signatureConfigHash: Long = {
+    val s = Seq(numPerms, charGramK, frameMs, hopMs, framesPerShingle,
+      energyLevels, textLshWordNgram, simHashBits, containmentMinRun, seed)
+      .mkString(",")
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x1b873593)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
 }
 
 object DedupConfig {

@@ -78,14 +78,19 @@ object LshCandidates {
       bandKeysHashed(sigs, idCol, bands, rows).select(
         col(idCol), lit(tag).as("modality"), col("band"), col("bandVal"))
     }.reduce(_ unionByName _)
-    // ONE shuffle: gather each bucket's members with collect_list, then
-    // expand pairs executor-side via nested generators. The previous shape
-    // (groupBy count -> join sizes back -> bucket self-join) shuffled the
-    // exploded rows x bands key table three times; this shuffles it once.
-    // Bucket member lists are bounded by maxBucketSize, so a gathered bucket
-    // is at most ~tens of KB — far below task memory.
+    // ONE shuffle: gather each bucket's members, then expand pairs
+    // executor-side via nested generators. The previous shape (groupBy count
+    // -> join sizes back -> bucket self-join) shuffled the exploded rows x
+    // bands key table three times; this shuffles it once. The gather is the
+    // size-CAPPED collector (graft.functions.CappedCollect), not
+    // collect_list: a hot bucket (the exact pathology maxBucketSize guards
+    // against) retains at most maxBucketSize+1 ids in the aggregation buffer
+    // while its true size is still counted — an over-cap bucket can never
+    // OOM an executor on its way to being dropped.
     val buckets = keys.groupBy("modality", "band", "bandVal")
-      .agg(collect_list(col(idCol)).as("ids"), count(lit(1)).as("bucketSize"))
+      .agg(graft.functions.CappedCollect.cappedCollect(maxBucketSize)(col(idCol)).as("g"))
+      .select(col("modality"), col("band"), col("bandVal"),
+        col("g.ids").as("ids"), col("g.n").as("bucketSize"))
       .filter(col("bucketSize") > 1)
     val dropped = buckets.filter(col("bucketSize") > maxBucketSize)
     val pairs = buckets.filter(col("bucketSize") <= maxBucketSize)

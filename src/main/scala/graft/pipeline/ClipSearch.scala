@@ -36,10 +36,16 @@ object ClipSearch {
    */
   def search(spark: SparkSession, probes: DataFrame, store: DedupStore,
              cfg: DedupConfig = DedupConfig.default, k: Int = 10,
-             includeDeleted: Boolean = false): DataFrame = {
+             includeDeleted: Boolean = false,
+             fusion: Option[graft.operators.FusionConfig] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val probeSigs = DedupPipeline.signatures(spark, probes, cfg)
-      .localCheckpoint(eager = true)
+    // checkpointCut (SparkUtil): cache + lineage cut + reclaimable blocks.
+    // Search is the repeated-call API — every hub below is freed before
+    // returning (leaked blocks cause ~2x eviction churn in later jobs), and
+    // unCUT hub lineage makes per-event plan walks exponential in the
+    // verify-layer depth.
+    val (probeSigs, freeProbeSigs) = graft.SparkUtil.checkpointCut(
+      DedupPipeline.signatures(spark, probes, cfg))
     def visible(df: DataFrame): DataFrame =
       df.filter(col("is_deleted") === false || lit(includeDeleted))
 
@@ -53,26 +59,25 @@ object ClipSearch {
       .agg(count(lit(1)).as("n"))
     val bKept = storedBands.join(bSizes.filter(col("n") <= cfg.maxBucketSize),
       Seq("modality", "band", "bandVal"))
-    val bandCands = pBands
+    val (bandCands, freeBandCands) = graft.SparkUtil.checkpointCut(pBands
       .select(col("clip_id").as("probe_id"), col("modality"), col("band"), col("bandVal"))
       .join(bKept.select(col("clip_id").as("match_id"), col("modality"), col("band"), col("bandVal")),
         Seq("modality", "band", "bandVal"))
       .filter(col("probe_id") =!= col("match_id"))
       .select("probe_id", "match_id", "modality")
-      .dropDuplicates("probe_id", "match_id", "modality")
-      .persist(MEMORY_AND_DISK)
+      .dropDuplicates("probe_id", "match_id", "modality"))
 
     val pFps = IncrementalDedup.fpRows(probeSigs)
     val storedFps = visible(store.fps.readBuckets(spark,
       IncrementalDedup.bucketsOf(pFps, store.fps)))
     val fpSizes = storedFps.groupBy("fp").agg(count(lit(1)).as("n"))
     val fpKept = storedFps.join(fpSizes.filter(col("n") <= cfg.containmentMaxBucket), "fp")
-    val cCands = pFps.select(col("clip_id").as("probe_id"), col("fp"))
-      .join(fpKept.select(col("clip_id").as("match_id"), col("fp")), "fp")
-      .filter(col("probe_id") =!= col("match_id"))
-      .select("probe_id", "match_id")
-      .dropDuplicates("probe_id", "match_id")
-      .persist(MEMORY_AND_DISK)
+    val (cCands, freeCCands) = graft.SparkUtil.checkpointCut(
+      pFps.select(col("clip_id").as("probe_id"), col("fp"))
+        .join(fpKept.select(col("clip_id").as("match_id"), col("fp")), "fp")
+        .filter(col("probe_id") =!= col("match_id"))
+        .select("probe_id", "match_id")
+        .dropDuplicates("probe_id", "match_id"))
 
     // exact identity: probe keys vs the stored key index
     val pKeys = IncrementalDedup.keyRows(probeSigs)
@@ -89,8 +94,14 @@ object ClipSearch {
     val matchIds = bandCands.select(col("match_id").as("clip_id"))
       .union(cCands.select(col("match_id").as("clip_id")))
       .distinct()
-    val stored = visible(store.signatures.readBuckets(spark,
-      IncrementalDedup.bucketsOf(matchIds, store.signatures)))
+    // semi-join to the matched candidate ids (same pruning as the merge
+    // path): the bucket slice still holds every co-bucketed row, and a probe
+    // whose band values hash across many buckets would otherwise drag whole
+    // signature-table slices into all four scored joins below
+    val (stored, freeStored) = graft.SparkUtil.checkpointCut(
+      visible(store.signatures.readBuckets(spark,
+        IncrementalDedup.bucketsOf(matchIds, store.signatures)))
+        .join(matchIds, Seq("clip_id"), "left_semi"))
 
     val jac = udf((x: Array[Long], y: Array[Long]) => PairVerifier.jaccardLongJvm(x, y))
     val est = udf((x: Array[Long], y: Array[Long]) => PairVerifier.estimateJvm(x, y))
@@ -108,13 +119,12 @@ object ClipSearch {
       .join(stored.select(col("clip_id").as("match_id"), col("asig").as("_eb")), "match_id")
       .filter(est(col("_ea"), col("_eb")) >= cfg.audioEstimateMin)
       .select("probe_id", "match_id")
-    val aScored = aCand
+    val (aScored, freeAScored) = graft.SparkUtil.checkpointCut(aCand
       .join(probeSigs.select(col("clip_id").as("probe_id"), col("ashingles").as("_sa")), "probe_id")
       .join(stored.select(col("clip_id").as("match_id"), col("ashingles").as("_sb")), "match_id")
       .withColumn("score", jac(col("_sa"), col("_sb")))
       .filter(col("score") >= cfg.audioJaccardThreshold)
-      .select("probe_id", "match_id", "score")
-      .persist(MEMORY_AND_DISK)
+      .select("probe_id", "match_id", "score"))
     // PCM confirm on survivors only: probe bytes join + pruned clips read
     val corr = udf((x: Array[Byte], y: Array[Byte]) => PairVerifier.pcmCorrJvm(x, y))
     val neededIds = aScored.select(col("match_id").as("clip_id")).distinct()
@@ -148,21 +158,41 @@ object ClipSearch {
 
     val allScored = exact.unionByName(tScored).unionByName(aConfirmed)
       .unionByName(cScored)
-    // one row per (probe, match): best score wins; score ties resolve by
-    // method strength (exact > audio-PCM-confirmed > text > containment)
-    val methodPrio = when(col("method") === "exact", 4)
-      .when(col("method") === "audio_minhash", 3)
-      .when(col("method") === "text_minhash", 2)
-      .otherwise(1)
-    val best = allScored
-      .groupBy("probe_id", "match_id")
-      .agg(max(struct(col("score"), methodPrio.as("prio"), col("method"))).as("_m"))
-      .select(col("probe_id"), col("match_id"),
-        col("_m.score").as("score"), col("_m.method").as("method"))
-    best
+    // one row per (probe, match). Default: best score wins, ties resolve by
+    // method strength (exact > audio-PCM-confirmed > text > containment).
+    // With a FusionConfig: the reference's weighted/adaptive cross-method
+    // combiner ranks instead (weighted_models_demo.py:395-502) — per-method
+    // scores fuse into one, thresholded like find_similar_images.
+    val best = fusion match {
+      case Some(fc) =>
+        graft.operators.Fusion.fuse(allScored, Seq("probe_id", "match_id"), fc.weights)
+          .withColumn("score", col(fc.method))
+          .filter(col("score") >= fc.threshold)
+          .select(col("probe_id"), col("match_id"), col("score"),
+            lit(fc.method).as("method"))
+      case None =>
+        val methodPrio = when(col("method") === "exact", 4)
+          .when(col("method") === "audio_minhash", 3)
+          .when(col("method") === "text_minhash", 2)
+          .otherwise(1)
+        allScored
+          .groupBy("probe_id", "match_id")
+          .agg(max(struct(col("score"), methodPrio.as("prio"), col("method"))).as("_m"))
+          .select(col("probe_id"), col("match_id"),
+            col("_m.score").as("score"), col("_m.method").as("method"))
+    }
+    // materialize the (tiny, <= probes x k) result BEFORE dropping the
+    // intermediates it derives from, then return it cached — no storage
+    // blocks from this call outlive it except the result itself
+    val result = best
       .withColumn("rank", row_number().over(
         Window.partitionBy("probe_id")
           .orderBy(col("score").desc, col("match_id"))))
       .filter(col("rank") <= k)
+      .persist(MEMORY_AND_DISK)
+    result.count()
+    Seq(freeProbeSigs, freeBandCands, freeCCands, freeStored, freeAScored)
+      .foreach(_.apply())
+    result
   }
 }

@@ -70,6 +70,26 @@ object DedupPipeline {
       .withColumn("asig", aSigUdf(col("ashingles")))
   }
 
+  /** Exact-identity star edges (stage a of run, public for the DuckDB-
+    * oracled clip_exact_* queries): both identity keys (content sha +
+    * transcript hash) in ONE tagged key space — one groupBy + one join
+    * instead of two of each. tHashExact is NULL for empty transcripts, so
+    * concat yields NULL and the filter drops the key — untranscribed clips
+    * never collapse into one cluster. groupBy + adjacent pairing would lose
+    * transitivity info; star edges to the min id per group are linear and CC
+    * closes the group. */
+  def exactEdges(sigs: DataFrame): DataFrame = {
+    val g = sigs.select(col("clip_id"), explode(filter(array(
+      concat(lit("s:"), col("sha")),
+      concat(lit("t:"), col("tHashExact"))), k => k.isNotNull)).as("k"))
+    val heads = g.groupBy("k").agg(min("clip_id").as("a"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    g.join(heads, "k").filter(col("clip_id") =!= col("a"))
+      .select(col("a"), col("clip_id").as("b"), lit(1.0).as("score"),
+        lit("exact").as("method"))
+      .dropDuplicates("a", "b")
+  }
+
   def run(spark: SparkSession, clips: DataFrame, cfg: DedupConfig = DedupConfig.default): PipelineResult = {
     val metrics = scala.collection.mutable.ArrayBuffer[StageMetric]()
     // clips are read twice (signature pass + PCM confirm); cache the bytes
@@ -87,40 +107,31 @@ object DedupPipeline {
       case None => signatures(spark, cachedClips, cfg).localCheckpoint(eager = true)
       case Some(root) =>
         val t = new graft.sources.LakeTable(root, "signatures_stage")
+        // CONTENT-sensitive fingerprint (id + content hash + transcript), not
+        // id-only: re-running over the same ids with regenerated bytes or
+        // re-ingested transcripts must re-sign, not silently reuse stale
+        // signatures. The signature-relevant config is fingerprinted too.
         val fp = cachedClips.agg(count(lit(1)),
-          expr("bit_xor(xxhash64(clip_id))")).first()
+          expr("bit_xor(xxhash64(clip_id, sha2(bytes, 256)," +
+            " coalesce(transcript, '')))")).first()
         val n = fp.getLong(0)
         val idh = if (fp.isNullAt(1)) 0L else fp.getLong(1)
+        val cfgh = cfg.signatureConfigHash
         val resumable = t.exists && {
           val m = t.latestMetrics
-          m.get("input_rows").contains(n) && m.get("input_idhash").contains(idh)
+          m.get("input_rows").contains(n) && m.get("input_fingerprint").contains(idh) &&
+            m.get("config_hash").contains(cfgh)
         }
         if (!resumable)
           t.commit(signatures(spark, cachedClips, cfg), "stage",
-            Map("input_rows" -> n, "input_idhash" -> idh))
+            Map("input_rows" -> n, "input_fingerprint" -> idh, "config_hash" -> cfgh))
         t.read(spark)
     }
     if (cfg.collectMetrics)
       metrics += StageMetric("signatures", "rows", sigs.count())
 
-    // (a) exact dups: identical content hash (audio) or identical transcript.
-    //     groupBy + adjacent pairing would lose transitivity info; emit
-    //     star edges to the min id per group (linear, CC closes the group).
-    val exactEdges = {
-      // both identity keys (content sha + transcript hash) in ONE tagged key
-      // space: one groupBy + one join instead of two of each. tHashExact is
-      // NULL for empty transcripts, so concat yields NULL and the filter
-      // drops the key — untranscribed clips never collapse into one cluster.
-      val g = sigs.select(col("clip_id"), explode(filter(array(
-        concat(lit("s:"), col("sha")),
-        concat(lit("t:"), col("tHashExact"))), k => k.isNotNull)).as("k"))
-      val heads = g.groupBy("k").agg(min("clip_id").as("a"), count(lit(1)).as("n"))
-        .filter(col("n") > 1)
-      g.join(heads, "k").filter(col("clip_id") =!= col("a"))
-        .select(col("a"), col("clip_id").as("b"), lit(1.0).as("score"),
-          lit("exact").as("method"))
-        .dropDuplicates("a", "b")
-    }
+    // (a) exact dups: identical content hash (audio) or identical transcript
+    val exactPairs = exactEdges(sigs)
 
     // (a2) representative filter: near-dup candidate generation runs on ONE
     //     representative per exact-content group. Identical content has
@@ -148,11 +159,15 @@ object DedupPipeline {
       ("audio", repSigs.filter(col("asig").isNotNull)
         .select(col("clip_id"), col("asig").as("sig")), cfg.audioBands, cfg.audioRowsPerBand)),
       "clip_id", cfg.maxBucketSize)
-    // persist: the banded self-join is ~25% of the whole run's task time and
-    // BOTH verify branches consume it — unpersisted, each branch recomputes
-    // the explode+groupBy+join chain (profiled: 2x the candidate stage).
-    // Rows are (a, b, modality) triples — tiny relative to the corpus.
-    val cands = cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // checkpointCut (cache + LINEAGE CUT, see SparkUtil): the banded
+    // self-join is ~25% of the whole run's task time and BOTH verify
+    // branches consume it — uncached, each branch recomputes the
+    // explode+groupBy+join chain (profiled: 2x the candidate stage); unCUT,
+    // every downstream verify layer re-embeds the whole candidate tree and
+    // plan rendering/optimization walks it exponentially (measured 80M-char
+    // event renders on a 120-row corpus). Rows are (a, b, modality) triples
+    // — tiny relative to the corpus.
+    val (cands, freeCands) = graft.SparkUtil.checkpointCut(cands0)
     val tCands = cands.filter(col("modality") === "text").select("a", "b")
     val aCands = cands.filter(col("modality") === "audio").select("a", "b")
 
@@ -167,12 +182,12 @@ object DedupPipeline {
     // persisted: verify's endpoint semi-join reads its pair input multiple
     // times (ids + both sides), and unpersisted that would recompute the
     // screen chain each read. Rows are (a, b) pairs — tiny.
-    val aPlausible = PairVerifier.estimateScreen(aCands, sigs, "clip_id", "asig",
-      cfg.audioEstimateMin)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val audioScreened = PairVerifier.verify(aPlausible, sigs, "clip_id", "ashingles",
-      cfg.audioJaccardThreshold, "audio_minhash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (aPlausible, freeAPlausible) = graft.SparkUtil.checkpointCut(
+      PairVerifier.estimateScreen(aCands, sigs, "clip_id", "asig",
+        cfg.audioEstimateMin))
+    val (audioScreened, freeAudioScreened) = graft.SparkUtil.checkpointCut(
+      PairVerifier.verify(aPlausible, sigs, "clip_id", "ashingles",
+        cfg.audioJaccardThreshold, "audio_minhash"))
     val audioPairs = PairVerifier.pcmConfirm(audioScreened, cachedClips, "clip_id", cfg.pcmCorrMin)
 
     // (d) containment: long verbatim transcript runs (>= cfg.containmentMinRun);
@@ -183,7 +198,7 @@ object DedupPipeline {
       "clip_id", "_lt", cfg)
       .select(col("a"), col("b"), lit(0.9).as("score"), lit("containment").as("method"))
 
-    val dupPairs = exactEdges
+    val dupPairs = exactPairs
       .unionByName(textPairs).unionByName(audioPairs).unionByName(containPairs)
       .dropDuplicates("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -216,9 +231,9 @@ object DedupPipeline {
     // blocks force eviction churn in every later job sharing the session
     // (measured: a second full run costs ~2x the CPU of the first purely
     // from leftover blocks).
-    audioScreened.unpersist()
-    aPlausible.unpersist()
-    cands.unpersist()
+    freeAudioScreened()
+    freeAPlausible()
+    freeCands()
     val nKept = if (cfg.maxPairs > 0) math.min(nPairs, cfg.maxPairs) else nPairs
     val cappedPairs =
       if (cfg.maxPairs > 0 && nPairs > cfg.maxPairs) {

@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   * corpus scans O(delta x matched-buckets), never the corpus (the
   * reference's FAISS index lookup re-expressed as bucket-pruned table
   * reads; "the table IS the index", SURVEY.md S5). */
+/** Bucket-count sizing. numBuckets bounds BOTH the per-bucket file size and
+  * the merge write amplification: a d-row delta rewrites ~min(d, B) buckets
+  * of ~N/B rows each, so amplification is ~N/B per delta row — at 10^12 rows
+  * the default 32 would make every bucket a 30-billion-row rewrite and any
+  * delta >~150 ids would touch all buckets (O(delta) collapses to O(N)).
+  * Size B from expected table rows (DedupStore.sized): ~4M rows/bucket keeps
+  * bucket files in the hundreds of MB and write amplification bounded; the
+  * driver-side bucket-id collects stay tiny (<= B ints). 32 remains the
+  * small-corpus default only. IncrementalSpec proves O(delta) bytes at 1024
+  * buckets with a delta that would rewrite a 32-bucket table completely. */
 final class DedupStore(val root: String, val numBuckets: Int = 32) {
   val clips = new LakeTable(root, "clips", "clip_id", numBuckets)
   val signatures = new LakeTable(root, "signatures", "clip_id", numBuckets)
@@ -29,6 +39,21 @@ final class DedupStore(val root: String, val numBuckets: Int = 32) {
   // component-bucketed mirror of clusters: merge repair needs "all members
   // of these components", which the id-bucketed table cannot prune
   val clustersByComp = new LakeTable(root, "clusters_by_comp", "component", numBuckets)
+}
+
+object DedupStore {
+  /** Power-of-two bucket count targeting ~`targetRowsPerBucket` rows per
+    * bucket, clamped to [32, 2^20]. 10^12 rows -> 2^18 buckets of ~4M rows. */
+  def bucketsForRows(expectedRows: Long, targetRowsPerBucket: Long = 4000000L): Int = {
+    val want = math.max(1L, (expectedRows + targetRowsPerBucket - 1) / targetRowsPerBucket)
+    val pow = java.lang.Long.highestOneBit(math.min(want, 1L << 20))
+    val b = if (pow == want) pow else pow << 1
+    math.max(32L, math.min(1L << 20, b)).toInt
+  }
+
+  /** Store with bucket count sized for the expected corpus scale. */
+  def sized(root: String, expectedRows: Long): DedupStore =
+    new DedupStore(root, bucketsForRows(expectedRows))
 }
 
 /**
@@ -168,8 +193,91 @@ object IncrementalDedup {
       .localCheckpoint(eager = true)
 
     // ---- 3. candidates: delta values -> bucket-pruned index reads ----
-    val deltaBands = bandRows(activeDelta, cfg).persist(MEMORY_AND_DISK)
-    val bandBkts = bucketsOf(deltaBands, store.bands)
+
+    // exact dups FIRST (band/fp probing needs the promoted centers below).
+    // Three edge families keep the merged graph's exact groups EXACTLY as
+    // connected as a rebuild's, at O(delta + broken-group) cost:
+    //  E1 one edge per (delta id, key) to the key's overall min — linear in
+    //     delta; CC transitivity chains the rest of the group;
+    //  E2 a repair star for keys whose stored star CENTER (the min stored
+    //     id, which every batch member starred to) was invalidated: those
+    //     stars died with the center, so survivors re-star to the new min —
+    //     cost O(members of broken groups only), never healthy groups;
+    //  E3 a single bridge edge min(stored survivors) <-> overall min for
+    //     healthy groups — covers a delta id sorting BELOW every stored id
+    //     (then d == overall min and E1's self-filter would drop the only
+    //     edge linking the delta to the stored group).
+    val deltaKeys = keyRows(activeDelta).persist(MEMORY_AND_DISK)
+    val oldKeys = keyRows(oldSigs).select("k") // keys that lost a member
+    val probeKeys = deltaKeys.select("k").union(oldKeys).distinct()
+    val keyBkts = bucketsOf(probeKeys, store.exactKeys)
+    val storedKeyRows = store.exactKeys.readBuckets(spark, keyBkts)
+      .filter(!col("is_deleted"))
+      .join(probeKeys, Seq("k"), "left_semi")
+      .join(invalid.withColumn("_inv", lit(true)), Seq("clip_id"), "left")
+      .select(col("clip_id"), col("k"), coalesce(col("_inv"), lit(false)).as("_inv"))
+      .persist(MEMORY_AND_DISK)
+    val storedAgg = storedKeyRows.groupBy("k").agg(
+      min(col("clip_id")).as("_oldCenter"), // min over stored incl. invalidated
+      min(when(!col("_inv"), col("clip_id"))).as("_minSurv"),
+      count(when(!col("_inv"), lit(1))).as("_nSurv"))
+    val deltaAgg = deltaKeys.groupBy("k").agg(
+      min("clip_id").as("_minDelta"), count(lit(1)).as("_nDelta"))
+    val keyState = deltaAgg.join(storedAgg, Seq("k"), "full_outer")
+      .select(col("k"),
+        least(col("_minSurv"), col("_minDelta")).as("_minAll"),
+        col("_minSurv"),
+        (col("_oldCenter").isNotNull && !(col("_oldCenter") <=> col("_minSurv")))
+          .as("_broken"),
+        (coalesce(col("_nSurv"), lit(0L)) + coalesce(col("_nDelta"), lit(0L)))
+          .as("_nTot"))
+      .filter(col("_nTot") > 1)
+      // localCheckpoint, not persist: keyState is referenced by FOUR
+      // consumers (e1/e2/e3/promotedIds) and sits above a multi-join
+      // subtree; cached-but-unCut lineage would multiply every downstream
+      // plan tree (rendering alone of the shared-subtree product was
+      // measured OOMing a 32g driver)
+      .localCheckpoint(eager = true)
+    val e1 = deltaKeys.select(col("clip_id").as("d"), col("k"))
+      .join(keyState.select("k", "_minAll"), "k")
+      .filter(col("d") =!= col("_minAll"))
+      .select(col("d"), col("_minAll").as("o"))
+    val e2 = storedKeyRows.filter(!col("_inv"))
+      .select(col("clip_id").as("d"), col("k"))
+      .join(keyState.filter(col("_broken")).select("k", "_minAll"), "k")
+      .filter(col("d") =!= col("_minAll"))
+      .select(col("d"), col("_minAll").as("o"))
+    val e3 = keyState.filter(!col("_broken") && col("_minSurv").isNotNull &&
+        col("_minSurv") =!= col("_minAll"))
+      .select(col("_minSurv").as("d"), col("_minAll").as("o"))
+    val exactEdges = e1.union(e2).union(e3)
+      .select(least(col("d"), col("o")).as("a"), greatest(col("d"), col("o")).as("b"))
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), lit(1.0).as("score"), lit("exact").as("method"))
+
+    // PROMOTED CENTERS: an invalidated id that was the min of an exact group
+    // was also that group's banded representative (the batch path bands one
+    // rep per exact group) — its near-dup edges died with it, and nothing
+    // else in the group was ever probed against the band/fp indexes. The new
+    // group min inherits rep duty: its stored signature joins the delta on
+    // the PROBE side of candidate generation (verification decides every
+    // pair, so promotion can only restore recall, never add false dups).
+    // Cost: O(broken groups), zero when no group lost its min.
+    val promotedIds = keyState.filter(col("_broken") && col("_minSurv").isNotNull)
+      .select(col("_minSurv").as("clip_id")).distinct().persist(MEMORY_AND_DISK)
+    val promotedSigs = store.signatures
+      .readBuckets(spark, bucketsOf(promotedIds, store.signatures))
+      .filter(!col("is_deleted"))
+      .join(promotedIds, Seq("clip_id"), "left_semi")
+      .select(sigCols.map(col): _*)
+    // lineage cut (same reason as keyState): probeSigs feeds both band
+    // modalities + fps + the verify union — an uncut tree multiplies
+    val probeSigs = activeDelta.unionByName(promotedSigs).localCheckpoint(eager = true)
+
+    val probeBands = bandRows(probeSigs, cfg).persist(MEMORY_AND_DISK)
+    // index updates carry DELTA rows only (promoted rows are already stored)
+    val deltaBands = probeBands.join(promotedIds, Seq("clip_id"), "left_anti")
+    val bandBkts = bucketsOf(probeBands, store.bands)
     val storedBands = store.bands.readBuckets(spark, bandBkts)
       .filter(!col("is_deleted"))
       .join(invalid, Seq("clip_id"), "left_anti")
@@ -181,21 +289,24 @@ object IncrementalDedup {
       .agg(count(lit(1)).as("n"))
     val bKept = allBands.join(bSizes.filter(col("n") <= cfg.maxBucketSize),
       Seq("modality", "band", "bandVal"))
-    val bandCands = deltaBands
+    // checkpointCut, not persist: candidate/feature hubs are re-referenced
+    // by every verify layer below, and unCUT lineage makes plan walks
+    // exponential in layer depth (see SparkUtil.checkpointCut)
+    val (bandCands, freeBandCands) = graft.SparkUtil.checkpointCut(probeBands
       .select(col("clip_id").as("d"), col("modality"), col("band"), col("bandVal"))
       .join(bKept.select(col("clip_id").as("o"), col("modality"), col("band"), col("bandVal")),
         Seq("modality", "band", "bandVal"))
       .filter(col("d") =!= col("o"))
       .select(col("modality"), least(col("d"), col("o")).as("a"),
         greatest(col("d"), col("o")).as("b"))
-      .dropDuplicates("a", "b", "modality")
-      .persist(MEMORY_AND_DISK)
+      .dropDuplicates("a", "b", "modality"))
     val tCands = bandCands.filter(col("modality") === "text").select("a", "b")
     val aCands = bandCands.filter(col("modality") === "audio").select("a", "b")
 
-    // containment candidates: delta fingerprints vs stored fingerprint index
-    val deltaFps = fpRows(activeDelta).persist(MEMORY_AND_DISK)
-    val fpBkts = bucketsOf(deltaFps, store.fps)
+    // containment candidates: delta+promoted fingerprints vs stored fp index
+    val probeFps = fpRows(probeSigs).persist(MEMORY_AND_DISK)
+    val deltaFps = probeFps.join(promotedIds, Seq("clip_id"), "left_anti")
+    val fpBkts = bucketsOf(probeFps, store.fps)
     val storedFps = store.fps.readBuckets(spark, fpBkts)
       .filter(!col("is_deleted"))
       .join(invalid, Seq("clip_id"), "left_anti")
@@ -203,31 +314,12 @@ object IncrementalDedup {
     val allFps = storedFps.unionByName(deltaFps)
     val fSizes = allFps.groupBy("fp").agg(count(lit(1)).as("n"))
     val fKept = allFps.join(fSizes.filter(col("n") <= cfg.containmentMaxBucket), "fp")
-    val cCands = deltaFps.select(col("clip_id").as("d"), col("fp"))
-      .join(fKept.select(col("clip_id").as("o"), col("fp")), "fp")
-      .filter(col("d") =!= col("o"))
-      .select(least(col("d"), col("o")).as("a"), greatest(col("d"), col("o")).as("b"))
-      .dropDuplicates("a", "b")
-      .persist(MEMORY_AND_DISK)
-
-    // exact dups: delta keys vs stored key index, ONE edge per (delta, key)
-    // to the group minimum — linear in delta, never in group size; CC
-    // transitivity chains the rest of the group through its existing edges
-    val deltaKeys = keyRows(activeDelta).persist(MEMORY_AND_DISK)
-    val keyBkts = bucketsOf(deltaKeys, store.exactKeys)
-    val storedKeys = store.exactKeys.readBuckets(spark, keyBkts)
-      .filter(!col("is_deleted"))
-      .join(invalid, Seq("clip_id"), "left_anti")
-      .select("clip_id", "k")
-    val keyHeads = storedKeys.unionByName(deltaKeys)
-      .groupBy("k").agg(min("clip_id").as("o"), count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-    val exactEdges = deltaKeys.select(col("clip_id").as("d"), col("k"))
-      .join(keyHeads, "k")
-      .filter(col("d") =!= col("o"))
-      .select(least(col("d"), col("o")).as("a"), greatest(col("d"), col("o")).as("b"))
-      .dropDuplicates("a", "b")
-      .select(col("a"), col("b"), lit(1.0).as("score"), lit("exact").as("method"))
+    val (cCands, freeCCands) = graft.SparkUtil.checkpointCut(
+      probeFps.select(col("clip_id").as("d"), col("fp"))
+        .join(fKept.select(col("clip_id").as("o"), col("fp")), "fp")
+        .filter(col("d") =!= col("o"))
+        .select(least(col("d"), col("o")).as("a"), greatest(col("d"), col("o")).as("b"))
+        .dropDuplicates("a", "b"))
 
     // ---- 4. verify on candidate endpoints only (bucket-pruned features) ----
     val endIds = bandCands.select(col("a").as("clip_id"))
@@ -236,22 +328,24 @@ object IncrementalDedup {
       .union(cCands.select(col("b").as("clip_id")))
       .distinct()
     val featBkts = bucketsOf(endIds, store.signatures)
-    val feats = store.signatures.readBuckets(spark, featBkts)
-      .filter(!col("is_deleted"))
-      .join(deltaIds, Seq("clip_id"), "left_anti")
-      .select(sigCols.map(col): _*)
-      .unionByName(activeDelta)
-      // endpoints only: the bucket slice still holds every co-bucketed row,
-      // and persisting it would cache ~the whole table at small bucket counts
-      .join(endIds, Seq("clip_id"), "left_semi")
-      .persist(MEMORY_AND_DISK)
+    val (feats, freeFeats) = graft.SparkUtil.checkpointCut(
+      store.signatures.readBuckets(spark, featBkts)
+        .filter(!col("is_deleted"))
+        .join(deltaIds, Seq("clip_id"), "left_anti")
+        .select(sigCols.map(col): _*)
+        .unionByName(activeDelta)
+        // endpoints only: the bucket slice still holds every co-bucketed row,
+        // and caching it would hold ~the whole table at small bucket counts
+        .join(endIds, Seq("clip_id"), "left_semi"))
 
     val textPairs = PairVerifier.verify(tCands, feats, "clip_id", "tshingles",
       cfg.textJaccardThreshold, "text_minhash")
-    val aPlausible = PairVerifier.estimateScreen(aCands, feats, "clip_id", "asig",
-      cfg.audioEstimateMin).persist(MEMORY_AND_DISK)
-    val audioScreened = PairVerifier.verify(aPlausible, feats, "clip_id", "ashingles",
-      cfg.audioJaccardThreshold, "audio_minhash").persist(MEMORY_AND_DISK)
+    val (aPlausible, freeAPlausible) = graft.SparkUtil.checkpointCut(
+      PairVerifier.estimateScreen(aCands, feats, "clip_id", "asig",
+        cfg.audioEstimateMin))
+    val (audioScreened, freeAudioScreened) = graft.SparkUtil.checkpointCut(
+      PairVerifier.verify(aPlausible, feats, "clip_id", "ashingles",
+        cfg.audioJaccardThreshold, "audio_minhash"))
     // PCM confirm bytes: pruned clips read for the screened endpoints
     val aIds = audioScreened.select(col("a").as("clip_id"))
       .union(audioScreened.select(col("b").as("clip_id"))).distinct()
@@ -410,11 +504,13 @@ object IncrementalDedup {
       .unionByName(mirrorNewRows)
     store.clustersByComp.commitDelta(mirrorContent, mirrorTouched, "merge")
 
-    Seq(deletes, classified, invalid, deltaClips, deltaBands, bandCands,
-      deltaFps, cCands, deltaKeys, feats, aPlausible, audioScreened,
+    Seq(deletes, classified, invalid, deltaClips, probeBands,
+      probeFps, deltaKeys, storedKeyRows, promotedIds,
       touchedNodes, touchedComps, affectedNodes, prevPairsAff, subEdges,
       prevTouchedAssign)
       .foreach(_.unpersist())
+    Seq(freeBandCands, freeCCands, freeFeats, freeAPlausible,
+      freeAudioScreened).foreach(_.apply())
   }
 
   /** Physical cleanup — the reference v3 `cleanup` mode
@@ -426,7 +522,20 @@ object IncrementalDedup {
     * snapshot count. */
   def compact(spark: SparkSession, store: DedupStore, retain: Int = 1): Unit = {
     Seq(store.clips, store.signatures, store.bands, store.fps, store.exactKeys)
-      .foreach(t => t.commit(t.read(spark).filter(!col("is_deleted")), "compact"))
+      .foreach { t =>
+        // BUCKET-PRUNED rewrite: only buckets that contain a tombstoned row
+        // are compacted; every clean bucket's files are reused through the
+        // copy-on-write manifest. Finding them scans just the (key,
+        // is_deleted) columns (parquet column pruning), so compaction I/O is
+        // proportional to tombstone spread, not table size.
+        val tombBkts = t.read(spark).filter(col("is_deleted"))
+          .select(t.bucketOf.cast("int").as("b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (tombBkts.nonEmpty)
+          t.commitDelta(t.readBuckets(spark, tombBkts).filter(!col("is_deleted")),
+            tombBkts, "compact",
+            Map("compacted_buckets" -> tombBkts.size.toLong))
+      }
     Seq(store.clips, store.signatures, store.dupPairs, store.clusters,
       store.clustersByComp, store.bands, store.fps, store.exactKeys)
       .foreach(_.expireSnapshots(retain))

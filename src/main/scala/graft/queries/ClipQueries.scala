@@ -108,5 +108,106 @@ object ClipQueries {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(clusters, dupPairs, signatures, incremental, search)
+  // ---- DuckDB-oracled pipeline-path queries ----
+  // The synthesized audio corpus is invisible to DuckDB, so these run the
+  // SAME pipeline code (DedupPipeline.signatures / exactEdges /
+  // ConnectedComponents) over a clips table derived deterministically from
+  // the driver's `documents` parquet: payload bytes = utf8(source|text),
+  // transcript = text, with planted duplicate rows — dupa_* copies share
+  // bytes AND transcript (s: + t: identity), dupb_* copies share only the
+  // transcript (t: identity, different bytes) — exercising the tagged
+  // two-key exact space for real. DuckDB rebuilds each stage with sha256 +
+  // a recursive-CTE closure, so the identity, star-edge, and CC stages of
+  // the flagship get full hash-level verification.
+
+  /** Spark-side clips-from-documents table (see ClipsCte for the oracle). */
+  private def docClips(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def shaped(idPrefix: String, payload: org.apache.spark.sql.Column,
+               rows: org.apache.spark.sql.DataFrame) =
+      rows.select(
+        concat(lit(idPrefix), col("doc_id")).as("clip_id"),
+        payload.as("payload"), col("text").as("transcript"))
+    shaped("doc_", concat(col("source"), lit("|"), col("text")), docs)
+      .unionByName(shaped("dupa_", concat(col("source"), lit("|"), col("text")),
+        docs.filter(col("doc_id") % 7 === 0)))
+      .unionByName(shaped("dupb_", concat(lit("alt|"), col("text")),
+        docs.filter(col("doc_id") % 13 === 0)))
+      .select(col("clip_id"),
+        encode(col("payload"), "UTF-8").as("bytes"),
+        lit(8000).as("sr_hz"),
+        (length(col("payload")) / lit(16)).cast("int").as("dur_ms"),
+        lit("pcm_s16le").as("codec"),
+        col("transcript"))
+  }
+
+  private val ClipsCte =
+    """clips AS (
+      |  SELECT 'doc_' || doc_id AS clip_id, source || '|' || text AS payload, text AS transcript FROM documents
+      |  UNION ALL
+      |  SELECT 'dupa_' || doc_id, source || '|' || text, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 'dupb_' || doc_id, 'alt|' || text, text FROM documents WHERE doc_id % 13 = 0
+      |)""".stripMargin
+
+  private val SigCte =
+    s"""$ClipsCte,
+      |sig AS (SELECT clip_id, sha256(payload) AS sha,
+      |               CASE WHEN length(transcript) > 0 THEN sha256(transcript) END AS t_hash
+      |        FROM clips)""".stripMargin
+
+  private val EdgeCtes =
+    s"""$SigCte,
+      |k AS (SELECT clip_id, 's:' || sha AS k FROM sig
+      |      UNION ALL
+      |      SELECT clip_id, 't:' || t_hash FROM sig WHERE t_hash IS NOT NULL),
+      |h AS (SELECT k, min(clip_id) AS a, count(*) AS n FROM k GROUP BY k HAVING count(*) > 1),
+      |e AS (SELECT DISTINCT h.a AS a, k.clip_id AS b FROM k JOIN h USING (k) WHERE k.clip_id <> h.a)""".stripMargin
+
+  /** The pipeline's content-identity columns, hash-checked by DuckDB. */
+  val sigHashes = QueryDef(
+    "clip_sig_hashes",
+    (spark, dir) =>
+      DedupPipeline.signatures(spark, docClips(spark, dir), DedupConfig.default)
+        .select(col("clip_id"), col("sha"), col("tHashExact").as("t_hash"))
+        .orderBy("clip_id"),
+    Some(s"""WITH $SigCte
+      |SELECT clip_id, sha, t_hash FROM sig ORDER BY clip_id""".stripMargin))
+
+  /** The pipeline's exact-identity star edges, hash-checked by DuckDB. */
+  val exactEdges = QueryDef(
+    "clip_exact_edges",
+    (spark, dir) =>
+      DedupPipeline.exactEdges(
+        DedupPipeline.signatures(spark, docClips(spark, dir), DedupConfig.default))
+        .select("a", "b").orderBy("a", "b"),
+    Some(s"""WITH $EdgeCtes
+      |SELECT a, b FROM e ORDER BY a, b""".stripMargin))
+
+  /** Connected components over the pipeline's exact edges, hash-checked by a
+    * DuckDB recursive-CTE transitive closure (the q_cc_clusters pattern, on
+    * the flagship's own edge stage). */
+  val exactClusters = QueryDef(
+    "clip_exact_clusters",
+    (spark, dir) => {
+      import graft.operators.ConnectedComponents
+      val edges = DedupPipeline.exactEdges(
+        DedupPipeline.signatures(spark, docClips(spark, dir), DedupConfig.default))
+        .select("a", "b")
+      ConnectedComponents.run(edges)
+        .select(col("node"), col("component"))
+        .orderBy("node")
+    },
+    Some(s"""WITH RECURSIVE $EdgeCtes,
+      |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a WHERE r.n != s.b
+      |)
+      |SELECT n AS node, least(n, min(m)) AS component FROM reach
+      |GROUP BY n ORDER BY node""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(clusters, dupPairs, signatures, incremental,
+    search, sigHashes, exactEdges, exactClusters)
 }

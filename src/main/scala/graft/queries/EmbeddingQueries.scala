@@ -205,5 +205,121 @@ object EmbeddingQueries {
   /** The exact-scan vectors relation (vec_id, embedding, n2) for dir. */
   def vectors(spark: SparkSession, dir: String): DataFrame = withNorm(spark, dir)
 
-  val all: Seq[QueryDef] = Seq(embeddingNorms, cosineTopk, annIvf)
+  // ---- graph-flavor ANN (the reference's HNSW/Annoy backend slot,
+  // fast_bert_similarity.py:24,48,139) ----
+  // HNSW's greedy layered descent is inherently sequential per query; the
+  // Spark-native re-expression is a DETERMINISTIC navigable-graph search
+  // with bounded depth: a sparse entry layer (every `entryStride`-th vector
+  // ~ the upper HNSW layer), per-query beam of the `ef` nearest entries,
+  // then 2-hop expansion over a precomputed M-nearest-neighbor graph (~ the
+  // base layer), exact-scoring only the expanded candidate set. All joins,
+  // no iteration — oracle-checkable bit-exactly, and the ef knob trades
+  // recall for cost exactly like HNSW's ef_search. At corpus scale the
+  // kNN-graph build composes with the IVF layout (per-bucket local kNN);
+  // here the graph build is the exact form over the capped set.
+  val NswCap = 2000L
+  val NswM = 8
+  val NswEntryStride = 64
+  val NswEf = 4
+
+  /** Deterministic kNN neighbor graph: each node's M max-cosine neighbors
+    * (cosine desc, id tie-break). */
+  def knnGraph(vecs: DataFrame, m: Int): DataFrame = {
+    val l = vecs.select(col("vec_id").as("src"), col("embedding").as("se"), col("n2").as("sn"))
+    val r = vecs.select(col("vec_id").as("nbr"), col("embedding").as("ne"), col("n2").as("nn"))
+    l.join(r, col("src") =!= col("nbr"))
+      .select(col("src"), col("nbr"),
+        cosine(col("se"), col("sn"), col("ne"), col("nn")).as("c"))
+      .withColumn("nrk", row_number().over(
+        Window.partitionBy("src").orderBy(col("c").desc, col("nbr"))))
+      .filter(col("nrk") <= m)
+      .select("src", "nbr")
+  }
+
+  /** Navigable-graph top-k search (see block comment above). */
+  def nswSearch(vecs: DataFrame, queryStride: Int, m: Int, entryStride: Int,
+                ef: Int, topK: Int): DataFrame = {
+    val g = knnGraph(vecs, m)
+    val entries = vecs.filter(col("vec_id") % entryStride === 0)
+      .select(col("vec_id").as("eid"), col("embedding").as("ee"), col("n2").as("en"))
+    val q = vecs.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn"))
+    val qe = q.crossJoin(broadcast(entries))
+      .select(col("qid"), col("eid"),
+        cosine(col("qe"), col("qn"), col("ee"), col("en")).as("ec"))
+      .withColumn("erk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ec").desc, col("eid"))))
+      .filter(col("erk") <= ef)
+      .select("qid", "eid")
+    val h1 = qe.join(g.withColumnRenamed("src", "eid"), "eid")
+      .select(col("qid"), col("nbr"))
+    val h2 = h1.withColumnRenamed("nbr", "mid")
+      .join(g.withColumnRenamed("src", "mid"), "mid")
+      .select(col("qid"), col("nbr"))
+    val cand = qe.select(col("qid"), col("eid").as("vid"))
+      .union(h1.select(col("qid"), col("nbr").as("vid")))
+      .union(h2.select(col("qid"), col("nbr").as("vid")))
+      .filter(col("qid") =!= col("vid"))
+      .distinct()
+    val t = vecs.select(col("vec_id").as("vid"), col("embedding").as("te"), col("n2").as("tn"))
+    cand.join(q, "qid").join(t, "vid")
+      .select(col("qid"), col("vid"),
+        cosine(col("qe"), col("qn"), col("te"), col("tn")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
+      .filter(col("rk") <= topK)
+      .select(col("qid"), col("vid"), col("rk").cast("long").as("rk"), col("cos"))
+  }
+
+  val annNsw = QueryDef(
+    "q_ann_nsw",
+    (spark, dir) =>
+      nswSearch(withNorm(spark, dir).filter(col("vec_id") < NswCap),
+        QueryStride, NswM, NswEntryStride, NswEf, TopK)
+        .orderBy("qid", "rk"),
+    Some {
+      val cos = cosineSql _
+      s"""WITH v AS (SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2
+        |           FROM embeddings WHERE vec_id < $NswCap),
+        |gpairs AS (
+        |  SELECT l.vec_id AS src, r.vec_id AS nbr,
+        |         row_number() OVER (PARTITION BY l.vec_id
+        |           ORDER BY ${cos("l.embedding", "l.n2", "r.embedding", "r.n2")} DESC,
+        |                    r.vec_id) AS nrk
+        |  FROM v l JOIN v r ON l.vec_id != r.vec_id
+        |),
+        |g AS (SELECT src, nbr FROM gpairs WHERE nrk <= $NswM),
+        |e AS (SELECT vec_id AS eid, embedding AS ee, n2 AS en FROM v
+        |      WHERE vec_id % $NswEntryStride = 0),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS qn FROM v
+        |      WHERE vec_id % $QueryStride = 0),
+        |qer AS (
+        |  SELECT qid, eid,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY ${cos("qe", "qn", "ee", "en")} DESC, eid) AS erk
+        |  FROM q CROSS JOIN e
+        |),
+        |qe2 AS (SELECT qid, eid FROM qer WHERE erk <= $NswEf),
+        |h1 AS (SELECT qid, nbr FROM qe2 JOIN g ON qe2.eid = g.src),
+        |h2 AS (SELECT qid, g.nbr FROM h1 JOIN g ON h1.nbr = g.src),
+        |cand AS (
+        |  SELECT DISTINCT qid, vid FROM (
+        |    SELECT qid, eid AS vid FROM qe2
+        |    UNION ALL SELECT qid, nbr FROM h1
+        |    UNION ALL SELECT qid, nbr FROM h2
+        |  ) WHERE qid != vid
+        |),
+        |scored AS (
+        |  SELECT qid, vid, ${cos("q.qe", "q.qn", "t.embedding", "t.n2")} AS cos
+        |  FROM cand JOIN q USING (qid) JOIN v t ON cand.vid = t.vec_id
+        |),
+        |ranked AS (
+        |  SELECT qid, vid, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+        |  FROM scored
+        |)
+        |SELECT qid, vid, rk, cos FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(embeddingNorms, cosineTopk, annIvf, annNsw)
 }

@@ -26,12 +26,21 @@ object RetrievalEval {
    * @param run   (qid, doc_id, rank) — rank 1-based, unique per qid
    * @param qrels (qid, doc_id, rel)  — graded relevance, rel >= 0
    * @param k     cutoff for all metrics
-   * @return (qid, n_rel, ndcg, ap, recall, prec, mrr) per qid; MAP uses
-   *         the standard AP denominator = total relevant (not capped at k)
+   * @return (qid, n_rel, ndcg, ap, recall, prec, mrr, recall_cap, acc,
+   *         hole) per qid; MAP uses the standard AP denominator = total
+   *         relevant (not capped at k). The last three mirror the
+   *         reference's custom metrics (evaluation.py:60-122): capped
+   *         recall hits/min(n_rel, k), top-k accuracy (any relevant doc in
+   *         the top k), and hole@k (fraction of top-k docs absent from the
+   *         annotated corpus entirely).
    */
   def evaluate(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     val rel = qrels.filter(col("rel") > 0)
     val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    // hole@k's "annotated corpus": every doc with ANY qrels row, any query
+    // (evaluation.py:74-77)
+    val annotated = qrels.select(col("doc_id")).distinct()
+      .withColumn("_ann", lit(1))
 
     def fixedSum(rankCol: String, term: Column): Column =
       (1 to k).map(i => coalesce(max(when(col(rankCol) === i, term)), lit(0.0)))
@@ -42,8 +51,10 @@ object RetrievalEval {
     val joined = run.filter(col("rank") <= k)
       .join(qrels.select(col("qid"), col("doc_id"), col("rel")),
         Seq("qid", "doc_id"), "left")
+      .join(annotated, Seq("doc_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0)))
       .withColumn("relflag", (col("rel") > 0).cast("int"))
+      .withColumn("holeflag", when(col("_ann").isNull, 1).otherwise(0))
       .withColumn("cum",
         sum("relflag").over(Window.partitionBy("qid").orderBy("rank")))
     val apTerm = when(col("relflag") === 1,
@@ -52,6 +63,7 @@ object RetrievalEval {
       fixedSum("rank", gainAt(col("rel"), col("rank"))).as("dcg"),
       fixedSum("rank", apTerm).as("ap_num"),
       sum("relflag").as("hits"),
+      sum("holeflag").as("holes"),
       min(when(col("relflag") === 1, col("rank"))).as("first_rel"))
 
     // ideal DCG: qrels sorted by rel desc (doc_id tie-break), top k
@@ -73,7 +85,12 @@ object RetrievalEval {
         round(when(col("n_rel") > 0, col("hits").cast("double") / col("n_rel"))
           .otherwise(0.0), 9).as("recall"),
         round(col("hits").cast("double") / k, 9).as("prec"),
-        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 9).as("mrr"))
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 9).as("mrr"),
+        round(when(col("n_rel") > 0,
+          col("hits").cast("double") / least(col("n_rel"), lit(k.toLong)))
+          .otherwise(0.0), 9).as("recall_cap"),
+        when(col("first_rel").isNotNull, 1.0).otherwise(0.0).as("acc"),
+        round(col("holes").cast("double") / k, 9).as("hole"))
   }
 
   // ---- oracle fixture: grade a single-term BM25 run over `documents` ----
@@ -160,11 +177,14 @@ object RetrievalEval {
         |),
         |qrels AS (SELECT qid, doc_id, rel FROM base WHERE rel > 0),
         |nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid),
+        |ann AS (SELECT DISTINCT doc_id FROM qrels),
         |j AS (
         |  SELECT run.qid, run.rank,
         |         coalesce(qrels.rel, 0) AS rel,
-        |         CASE WHEN coalesce(qrels.rel, 0) > 0 THEN 1 ELSE 0 END AS relflag
+        |         CASE WHEN coalesce(qrels.rel, 0) > 0 THEN 1 ELSE 0 END AS relflag,
+        |         CASE WHEN ann.doc_id IS NULL THEN 1 ELSE 0 END AS holeflag
         |  FROM run LEFT JOIN qrels ON run.qid = qrels.qid AND run.doc_id = qrels.doc_id
+        |           LEFT JOIN ann ON run.doc_id = ann.doc_id
         |  WHERE run.rank <= $k
         |),
         |jc AS (
@@ -176,6 +196,7 @@ object RetrievalEval {
         |         ${fixedSumSql("rank",
               "CASE WHEN relflag = 1 THEN CAST(cum AS DOUBLE) / rank ELSE 0.0 END")} AS ap_num,
         |         sum(relflag) AS hits,
+        |         sum(holeflag) AS holes,
         |         min(CASE WHEN relflag = 1 THEN rank END) AS first_rel
         |  FROM jc GROUP BY qid
         |),
@@ -194,7 +215,11 @@ object RetrievalEval {
         |       round(CASE WHEN n_rel > 0 THEN ap_num / n_rel ELSE 0.0 END, 9) AS ap,
         |       round(CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / n_rel ELSE 0.0 END, 9) AS recall,
         |       round(CAST(hits AS DOUBLE) / $k, 9) AS prec,
-        |       round(coalesce(1.0 / first_rel, 0.0), 9) AS mrr
+        |       round(coalesce(1.0 / first_rel, 0.0), 9) AS mrr,
+        |       round(CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / least(n_rel, $k)
+        |             ELSE 0.0 END, 9) AS recall_cap,
+        |       CASE WHEN first_rel IS NOT NULL THEN 1.0 ELSE 0.0 END AS acc,
+        |       round(CAST(holes AS DOUBLE) / $k, 9) AS hole
         |FROM perq LEFT JOIN ideal ON perq.qid = ideal.qid
         |          LEFT JOIN nrel ON perq.qid = nrel.qid
         |ORDER BY qid""".stripMargin

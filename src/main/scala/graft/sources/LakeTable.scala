@@ -50,6 +50,25 @@ final class LakeTable(val root: String, val name: String,
   def bucketOf: Column = pmod(xxhash64(col(bucketKey)), lit(numBuckets))
 
   private def bucketsFile(v: Int): Path = snapDir.resolve(s"v$v.buckets")
+  private def schemaFile(v: Int): Path = snapDir.resolve(s"v$v.schema")
+
+  /** Persist the snapshot's logical schema so a committed-but-empty snapshot
+    * (e.g. compact() after every row was tombstoned) stays readable — a
+    * zero-path spark.read.parquet throws, so empty reads rebuild from this. */
+  private def writeSchema(v: Int, schema: org.apache.spark.sql.types.StructType): Unit = {
+    Files.createDirectories(snapDir)
+    Files.write(schemaFile(v),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  private def emptyDf(spark: SparkSession, v: Int): DataFrame = {
+    require(Files.exists(schemaFile(v)),
+      s"table $name v$v has no data buckets and no recorded schema")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(new String(Files.readAllBytes(schemaFile(v))))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** bucket -> data dir for snapshot v (every bucket present). */
   def bucketMap(v: Int): Map[Int, String] = {
@@ -65,7 +84,7 @@ final class LakeTable(val root: String, val name: String,
     val v = if (version >= 0) version else currentVersion
     require(v >= 0, s"table $name has no committed snapshot")
     val dirs = bucketMap(v).values.toSeq.distinct.sorted
-    spark.read.parquet(dirs: _*)
+    if (dirs.isEmpty) emptyDf(spark, v) else spark.read.parquet(dirs: _*)
   }
 
   /** Bucket-pruned read: only the data directories of `buckets` are scanned
@@ -118,6 +137,7 @@ final class LakeTable(val root: String, val name: String,
       // a bucket can be empty; point it at an empty marker dir so reads skip it
       b -> (if (Files.exists(p)) p.toString else "")
     }.filter(_._2.nonEmpty).toMap
+    writeSchema(v, df.schema)
     publish(v, operation, metrics, buckets)
   }
 
@@ -131,11 +151,16 @@ final class LakeTable(val root: String, val name: String,
                   metrics: Map[String, Long] = Map.empty): Int = {
     val prev = currentVersion
     require(prev >= 0, s"commitDelta on empty table $name")
-    if (touchedBuckets.isEmpty)
+    if (touchedBuckets.isEmpty) {
+      if (Files.exists(schemaFile(prev)))
+        Files.copy(schemaFile(prev), schemaFile(prev + 1),
+          StandardCopyOption.REPLACE_EXISTING): Unit
       return publish(prev + 1, operation, metrics, bucketMap(prev))
+    }
     val v = prev + 1
     val out = writeBuckets(
       touchedRows.filter(bucketOf.isin(touchedBuckets.toSeq: _*)), v)
+    writeSchema(v, touchedRows.schema)
     val prevMap = bucketMap(prev)
     val newMap = (prevMap.keySet ++ touchedBuckets).flatMap { b =>
       if (touchedBuckets.contains(b)) {
@@ -205,6 +230,7 @@ final class LakeTable(val root: String, val name: String,
       }
       Files.deleteIfExists(snapDir.resolve(s"v$v.json"))
       Files.deleteIfExists(bucketsFile(v))
+      Files.deleteIfExists(schemaFile(v))
     }
   }
 

@@ -24,6 +24,33 @@ class EvalSpec extends SparkSpec {
     val m = RetrievalEval.evaluate(run, qrels, K)
     assert(meanOf(m, "ndcg") == 1.0 && meanOf(m, "recall") == 1.0 &&
       meanOf(m, "mrr") == 1.0 && meanOf(m, "ap") == 1.0)
+    assert(meanOf(m, "recall_cap") == 1.0 && meanOf(m, "acc") == 1.0 &&
+      meanOf(m, "hole") == 0.0)
+  }
+
+  test("recall_cap / acc / hole match the reference formulas on a fixed case") {
+    import spark.implicits._
+    // q1: 5 relevant docs, k=3, top-3 = [rel, unannotated, rel] ->
+    //   recall 2/5, recall_cap 2/min(5,3)=2/3, acc 1, hole 1/3
+    // q2: 1 relevant doc, never retrieved, one top doc annotated-irrelevant ->
+    //   recall 0, recall_cap 0, acc 0, hole 2/3
+    val run = Seq(
+      ("q1", "d1", 1), ("q1", "dx", 2), ("q1", "d2", 3),
+      ("q2", "d9", 1), ("q2", "dy", 2), ("q2", "dz", 3))
+      .toDF("qid", "doc_id", "rank")
+    val qrels = Seq(
+      ("q1", "d1", 1), ("q1", "d2", 1), ("q1", "d3", 1), ("q1", "d4", 1),
+      ("q1", "d5", 1), ("q2", "dq", 1), ("q2", "d9", 0))
+      .toDF("qid", "doc_id", "rel")
+    val m = RetrievalEval.evaluate(run, qrels, 3).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def d(q: String, c: String) = m(q).getDouble(m(q).fieldIndex(c))
+    assert(math.abs(d("q1", "recall") - 0.4) < 1e-9)
+    assert(math.abs(d("q1", "recall_cap") - 2.0 / 3) < 1e-9)
+    assert(d("q1", "acc") == 1.0)
+    assert(math.abs(d("q1", "hole") - 1.0 / 3) < 1e-9)
+    assert(d("q2", "recall") == 0.0 && d("q2", "recall_cap") == 0.0 && d("q2", "acc") == 0.0)
+    assert(math.abs(d("q2", "hole") - 2.0 / 3) < 1e-9)
   }
 
   test("IVF recall@k (k-means quantizer) rises with nprobe and is graded vs exact") {
@@ -52,5 +79,32 @@ class EvalSpec extends SparkSpec {
     assert(r4 >= r1, s"recall fell with nprobe: $r1 -> $r4")
     assert(rAll == 1.0, s"nprobe=all must equal the exact scan, got $rAll")
     vecs.unpersist(); qrels.unpersist(); kmCents.unpersist()
+  }
+
+  test("NSW graph search recall@k is graded vs exact and rises with ef") {
+    import EmbeddingQueries._
+    val vecs = EmbeddingQueries.vectors(spark, dir)
+      .filter(col("vec_id") < NswCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+    // exact ground truth on the same capped set: entryStride=1 + unbounded
+    // ef makes every vector an entry, so the candidate set is the full scan
+    val exact = nswSearch(vecs, QueryStride, NswM, 1, Int.MaxValue, K)
+    val qrels = exact.select(col("qid"), col("vid").as("doc_id"), lit(1).as("rel"))
+      .persist()
+    qrels.count()
+    def recallAt(ef: Int): Double = {
+      val run = nswSearch(vecs, QueryStride, NswM, NswEntryStride, ef, K)
+        .select(col("qid"), col("vid").as("doc_id"), col("rk").as("rank"))
+      meanOf(RetrievalEval.evaluate(run, qrels, K), "recall")
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(NswEf)
+    val r16 = recallAt(16)
+    info(s"NSW recall@$K: ef=1 $r1, ef=$NswEf $r4, ef=16 $r16")
+    assert(r4 >= r1, s"recall fell with ef: $r1 -> $r4")
+    assert(r16 >= r4 && r16 >= 0.8,
+      s"wide-beam NSW recall too low: $r16 (ef=16 over M=$NswM graph)")
+    vecs.unpersist(); qrels.unpersist()
   }
 }

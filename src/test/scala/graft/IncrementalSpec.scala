@@ -137,6 +137,46 @@ class IncrementalSpec extends SparkSpec {
       "re-inserted clip must rejoin its duplicate cluster")
   }
 
+  test("delta id sorting below every stored id still joins the exact group") {
+    // regression: keyHeads' min over stored+delta used to make the incoming
+    // id its own group head, and the d != o filter dropped the only edge
+    // bridging it to the stored group ('!' sorts below '0', so clip_!dup is
+    // the global minimum of its exact group)
+    val store = freshStore()
+    IncrementalDedup.initialize(spark, clipsRange(0, 100), cfg, store)
+    val head = clipsRange(0, 1).collect().head
+    val low = Seq(sources.Clip("clip_!dup", head.getAs[Array[Byte]]("bytes"),
+      head.getAs[Int]("sr_hz"), head.getAs[Int]("dur_ms"),
+      head.getAs[String]("codec"), head.getAs[String]("transcript"))).toDF()
+    IncrementalDedup.merge(spark, low, cfg, store)
+    val assign = store.clusters.read(spark)
+    val c1 = assign.filter(col("clip_id") === "clip_!dup").select("component").as[String].head()
+    val c2 = assign.filter(col("clip_id") === "clip_00000000").select("component").as[String].head()
+    assert(c1 == c2, s"low-sorting exact dup not linked to stored group ($c1 vs $c2)")
+  }
+
+  test("deleting an exact-group's min repairs the group star and its near-dup edges") {
+    // block 0 is the heavy 10-member cluster: head clip_00000000 is both the
+    // exact-group min (star center) and the group's banded representative.
+    // Deleting it used to (a) orphan the surviving exact copies (their star
+    // edges died with the center) and (b) lose the group's near-dup edges
+    // (nothing else was ever probed against the band index). merge must land
+    // on the same partition as a rebuild of the corpus minus the victim.
+    val store = freshStore()
+    IncrementalDedup.initialize(spark, clipsRange(0, 100), cfg, store)
+    val victim = "clip_00000000"
+    IncrementalDedup.merge(spark, clipsRange(0, 0), cfg, store,
+      deleteIds = Seq(victim).toDF("clip_id"))
+    val incr = partition(store.clusters.read(spark))
+    val full = DedupPipeline.run(spark,
+      clipsRange(0, 100).filter(col("clip_id") =!= victim), cfg)
+    val rebuild = partition(full.clusters.select(col("node").as("clip_id"), col("component")))
+    assert(incr == rebuild,
+      s"post-delete merge != rebuild; only-incr=${(incr -- rebuild).take(3)} " +
+        s"only-rebuild=${(rebuild -- incr).take(3)}")
+    full.signatures.unpersist(); full.dupPairs.unpersist()
+  }
+
   test("empty transcripts never form exact-dup edges with each other") {
     val base = clipsRange(0, 6).collect()
     val rows = base.zipWithIndex.map { case (r, i) =>
@@ -176,6 +216,80 @@ class IncrementalSpec extends SparkSpec {
     val v1Bytes = dirBytes(root.resolve("v1").toString)
     assert(v1Bytes * 3 < v0Bytes,
       s"merge wrote $v1Bytes bytes vs $v0Bytes full — not O(delta)")
+  }
+
+  test("O(delta) commit bytes hold at 1024 buckets where 32 would rewrite everything") {
+    // a 100-row delta hashes into ~96 of 32 buckets (full rewrite) but only
+    // <=100 of 1024 — bucket count sized to the table is what keeps merge
+    // write amplification ~N/B per delta row at scale (DedupStore.sized)
+    val store = new DedupStore(
+      java.nio.file.Files.createTempDirectory("graft-store1k").toString,
+      numBuckets = 1024)
+    IncrementalDedup.initialize(spark, clipsRange(0, 600), cfg, store)
+    val m0 = store.signatures.bucketMap(0)
+    IncrementalDedup.merge(spark, clipsRange(600, 700), cfg, store)
+    val m1 = store.signatures.bucketMap(1)
+    val reused = m1.count { case (b, p) => m0.get(b).contains(p) }
+    assert(reused >= m1.size - 100, s"only $reused/${m1.size} buckets reused")
+    assert(store.signatures.read(spark).count() == 700)
+    def dirBytes(p: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    }
+    val root = java.nio.file.Paths.get(store.root, "signatures/data")
+    val v0Bytes = dirBytes(root.resolve("v0").toString)
+    val v1Bytes = dirBytes(root.resolve("v1").toString)
+    // 100 delta rows on 600 stored: at 32 buckets v1 would be ~v0; at 1024
+    // it stays proportional to the delta (parquet per-file overhead means
+    // bytes don't scale perfectly with rows — assert the order, not the ppm)
+    assert(v1Bytes * 3 < v0Bytes,
+      s"merge wrote $v1Bytes bytes vs $v0Bytes full — not O(delta) at 1024 buckets")
+  }
+
+  test("bucketsForRows sizes the store to the corpus") {
+    import graft.pipeline.DedupStore.bucketsForRows
+    assert(bucketsForRows(1000L) == 32)                 // floor
+    assert(bucketsForRows(100000000L) == 32)            // 100M -> 25 -> floor
+    assert(bucketsForRows(1000000000L) == 256)          // 1G/4M = 250 -> 256
+    assert(bucketsForRows(1000000000000L) == 262144)    // 10^12 -> 2^18
+    assert(bucketsForRows(Long.MaxValue / 2) == (1 << 20)) // ceiling
+  }
+
+  test("compact rewrites only buckets containing tombstones") {
+    val store = freshStore()
+    IncrementalDedup.initialize(spark, clipsRange(0, 200), cfg, store)
+    val victim = "clip_00000042"
+    IncrementalDedup.merge(spark, clipsRange(0, 0), cfg, store,
+      deleteIds = Seq(victim).toDF("clip_id"))
+    val preVer = store.signatures.currentVersion
+    val preMap = store.signatures.bucketMap(preVer)
+    IncrementalDedup.compact(spark, store, retain = 99) // keep history to compare
+    val postMap = store.signatures.bucketMap(store.signatures.currentVersion)
+    assert(store.signatures.currentVersion == preVer + 1)
+    // exactly the tombstone's bucket rewritten; every other bucket reused
+    val changed = (preMap.keySet ++ postMap.keySet)
+      .filter(b => preMap.get(b) != postMap.get(b))
+    assert(changed.size == 1, s"compact rewrote buckets $changed, expected 1")
+    assert(store.signatures.read(spark).filter(col("is_deleted")).count() == 0)
+    assert(store.signatures.read(spark).count() == 199)
+  }
+
+  test("compacting a fully-tombstoned table leaves it empty but readable") {
+    // regression: an all-deleted table compacts to ZERO data buckets; read()
+    // used to call spark.read.parquet with no paths and throw — the schema
+    // recorded per snapshot keeps the store usable
+    val root = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val t = new graft.sources.LakeTable(root, "t", "clip_id", 8)
+    t.commit(Seq(("a", 1), ("b", 2)).toDF("clip_id", "v")
+      .withColumn("is_deleted", lit(true)), "create")
+    t.commitDelta(t.read(spark).filter(!col("is_deleted")),
+      (0 until 8).toSet, "compact")
+    val df = t.read(spark)
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("clip_id", "v", "is_deleted"))
+    assert(t.readBuckets(spark, Set(3)).count() == 0)
   }
 
   test("compact drops tombstones physically and expires old snapshots") {

@@ -37,4 +37,31 @@ class ResumeSpec extends SparkSpec {
     assert(stage.read(spark).count() == 140)
     Seq(r1, r2).foreach(r => r.dupPairs.unpersist())
   }
+
+  test("same ids with different content re-sign (content-sensitive fingerprint)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val cfg = DedupConfig.default.copy(stageRoot = Some(root))
+    val stage = new LakeTable(root, "signatures_stage")
+    DedupPipeline.run(spark, corpus(60), cfg).dupPairs.unpersist()
+    assert(stage.currentVersion == 0)
+    // same clip_ids, mutated bytes AND transcripts: an id-only fingerprint
+    // would resume the stale stage and cluster against dead signatures
+    val mutated = corpus(60).collect().map { r =>
+      sources.Clip(r.getString(0), r.getAs[Array[Byte]]("bytes").map(b => (b ^ 0x5a).toByte),
+        r.getInt(2), r.getInt(3), r.getString(4), r.getString(5) + " extra")
+    }.toSeq.toDF()
+    DedupPipeline.run(spark, mutated, cfg).dupPairs.unpersist()
+    assert(stage.currentVersion == 1, "changed content under same ids must re-sign")
+  }
+
+  test("changed signature config re-signs (config hash in the fingerprint)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val cfg = DedupConfig.default.copy(stageRoot = Some(root))
+    val stage = new LakeTable(root, "signatures_stage")
+    DedupPipeline.run(spark, corpus(60), cfg).dupPairs.unpersist()
+    assert(stage.currentVersion == 0)
+    val retuned = cfg.copy(charGramK = 6)
+    DedupPipeline.run(spark, corpus(60), retuned).dupPairs.unpersist()
+    assert(stage.currentVersion == 1, "re-tuned config must not reuse old signatures")
+  }
 }

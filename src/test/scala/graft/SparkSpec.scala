@@ -11,6 +11,12 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
+      // same guard as SparkUtil: AQE re-renders the full plan explain string
+      // per query-stage update, and the merge/search plans reference shared
+      // subtrees whose TREE rendering multiplies — untruncated it can OOM
+      // the driver on a deep plan (observed at 32g heap)
+      .config("spark.sql.maxPlanStringLength", "8192")
+      .config("spark.sql.ui.explainMode", "simple")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", graft.SparkUtil.localDir)
