@@ -64,9 +64,13 @@ object Bench {
     * probe sessions (both levels identically): each AQE query stage is a
     * blocking ~170 ms driver round-trip — a serial cost that vanishes at
     * cluster scale where stages run minutes, but biases a small local leg's
-    * N-vs-4N ratio. The headline run keeps AQE on. */
-  private def probe(cores: Int, n: Long, fromDir: Option[String]): Double = {
-    val spark = SparkUtil.session(cores, s"graft-probe-$cores", aqe = Some(false))
+    * N-vs-4N ratio. The headline run keeps AQE on. `parts` fixes
+    * spark.sql.shuffle.partitions IDENTICALLY at both levels so the two
+    * legs run the same physical plan over the same task granularity. */
+  private def probe(cores: Int, n: Long, fromDir: Option[String],
+                    parts: Int): Double = {
+    val spark = SparkUtil.session(cores, s"graft-probe-$cores",
+      aqe = Some(false), shufflePartitions = Some(parts))
     val t = dedupSeconds(spark, n, fromDir)
     spark.stop()
     t
@@ -85,12 +89,14 @@ object Bench {
     val nClips = ClipQueries.clipCount(sfDir)
     // the scaling probe runs a LARGER corpus than the headline: the pipeline
     // has a measured serial floor per run (driver planning, action barriers;
-    // ~13 s with AQE, ~8 s without) that is constant while task work scales
-    // with rows, so small corpora understate the job's true scaling (Amdahl;
-    // at the north star's 10^12 rows the floor is noise). 5x = 100k clips
-    // at sf0.1: sized so >= 3 interleaved probe pairs fit the bench budget
-    // (round-2's single 200k pair left the median/discard machinery unused)
-    // while the AQE-off floor stays < 5% of the N leg.
+    // ~3.5 s with AQE off after the round-3 lineage-cut work) that is
+    // constant while task work scales with rows, so small corpora understate
+    // the job's true scaling (Amdahl; at the north star's 10^12 rows the
+    // floor is noise). 5x = 100k clips at sf0.1 keeps the floor < 5% of the
+    // N leg while a pair costs ~2 min — the host's effective speed swings
+    // >2x on minute scales (same 4-core leg measured 58 s and 124 s under
+    // near-identical canaries), so MANY short pairs + median beats few long
+    // ones.
     val probeClips = sys.env.get("SPARK_GRAFT_PROBE_CLIPS").map(_.toLong)
       .getOrElse(if (sfDir.contains("sf0.1")) nClips * 5 else nClips)
     // Scaling pair: N=1 vs 4N=4 cores. Measured host ceilings (HwControlsMain,
@@ -105,6 +111,11 @@ object Bench {
     val nCores = sys.env.get("SPARK_GRAFT_PROBE_N").map(_.toInt)
       .getOrElse(math.max(1, cpus / 32))
     val fourN = math.min(cpus, 4 * nCores)
+    // identical shuffle-partition count at BOTH levels (sized for the 4N
+    // leg): otherwise the N leg runs fewer/bigger tasks — different
+    // combine/spill behavior, i.e. a different job, not the same job at two
+    // parallelisms
+    val probeParts = 2 * fourN
 
     // ---- part 1: headline queries at full parallelism ----
     val spark = session(cpus)
@@ -153,18 +164,35 @@ object Bench {
     val deadline = System.nanoTime() +
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "750").toLong * 1000000000L
     val minPairs = sys.env.getOrElse("SPARK_GRAFT_MIN_PAIRS", "3").toInt
-    val maxPairsReps = 5
+    val maxPairsReps = 7
     val repsN = scala.collection.mutable.ArrayBuffer[Double]()
     val reps4N = scala.collection.mutable.ArrayBuffer[Double]()
     val canaryN = scala.collection.mutable.ArrayBuffer[Double]()
     val canary4N = scala.collection.mutable.ArrayBuffer[Double]()
+    // memory-bandwidth canary alongside the CPU one: the host's DRAM
+    // bandwidth swings independently of its CPU speed (co-tenant pressure),
+    // and the dedup kernels stream arrays — a mid-pair bandwidth shift
+    // invalidates a pair that the CPU canary alone would accept
+    val memCanN = scala.collection.mutable.ArrayBuffer[Double]()
+    val memCan4N = scala.collection.mutable.ArrayBuffer[Double]()
     var rep = 0
     while (rep < minPairs ||
         (rep < maxPairsReps && System.nanoTime() < deadline)) {
-      canaryN += HwControls.cpuOps(4, 1500)
-      repsN += probe(nCores, probeClips, Some(stageDir))
-      canary4N += HwControls.cpuOps(4, 1500)
-      reps4N += probe(fourN, probeClips, Some(stageDir))
+      // ALTERNATE leg order per pair: a monotonic host slowdown biases
+      // N-first pairs one way and 4N-first pairs the other, so the median
+      // over alternating pairs cancels first-order drift instead of
+      // absorbing it
+      def legN(): Unit = {
+        canaryN += HwControls.cpuOps(4, 1500)
+        memCanN += HwControls.memGBps(4, 1000)
+        repsN += probe(nCores, probeClips, Some(stageDir), probeParts)
+      }
+      def leg4N(): Unit = {
+        canary4N += HwControls.cpuOps(4, 1500)
+        memCan4N += HwControls.memGBps(4, 1000)
+        reps4N += probe(fourN, probeClips, Some(stageDir), probeParts)
+      }
+      if (rep % 2 == 0) { legN(); leg4N() } else { leg4N(); legN() }
       rep += 1
     }
     // hardware-ceiling controls ONCE per level (not per pair — 18 s/pair of
@@ -177,8 +205,8 @@ object Bench {
     val alloc4N = HwControls.allocOps(fourN, 3000)
     // in-run serial-floor measurement: a near-zero-work leg per level
     val floorClips = 1000L
-    val floorN = probe(nCores, floorClips, None)
-    val floor4N = probe(fourN, floorClips, None)
+    val floorN = probe(nCores, floorClips, None, probeParts)
+    val floor4N = probe(fourN, floorClips, None, probeParts)
     // tmpfs hygiene: the staged corpus lives in /dev/shm
     def rmr(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
@@ -186,12 +214,14 @@ object Bench {
     }
     rmr(new java.io.File(stageDir))
 
-    // pair acceptance: both canaries within 20% (the host did not shift
+    // pair acceptance: CPU canaries within 20% AND memory canaries within
+    // 30% (the host shifted neither compute speed nor DRAM bandwidth
     // between the two legs of the pair)
     val pairs = repsN.indices.map { i =>
       val raw = repsN(i) / (4.0 * reps4N(i))
       val cRatio = canaryN(i) / canary4N(i)
-      val ok = cRatio >= 0.8 && cRatio <= 1.25
+      val mRatio = memCanN(i) / memCan4N(i)
+      val ok = cRatio >= 0.8 && cRatio <= 1.25 && mRatio >= 0.7 && mRatio <= 1.43
       (repsN(i), reps4N(i), raw, math.min(1.0, raw * cRatio), ok)
     }
     val accepted = pairs.filter(_._5)
@@ -235,6 +265,8 @@ object Bench {
         f""""efficiency_floor_adjusted_capped":$effFloorAdj%.3f,""" +
         s""""canary_mops_n":${repJson(canaryN.toSeq.map(_ / 1e6))},""" +
         s""""canary_mops_4n":${repJson(canary4N.toSeq.map(_ / 1e6))},""" +
+        s""""canary_memgbps_n":${repJson(memCanN.toSeq)},""" +
+        s""""canary_memgbps_4n":${repJson(memCan4N.toSeq)},""" +
         f""""cpu_control_mops_n":${cpuN / 1e6}%.1f,"cpu_control_mops_4n":${cpu4N / 1e6}%.1f,""" +
         f""""cpu_control_efficiency":$cpuEff%.3f,""" +
         f""""mem_control_gbps_n":$memN%.1f,"mem_control_gbps_4n":$mem4N%.1f,""" +

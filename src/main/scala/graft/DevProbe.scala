@@ -1,0 +1,41 @@
+package graft
+
+import graft.config.DedupConfig
+import graft.pipeline.DedupPipeline
+import graft.sources.{ClipCorpus, CorpusConfig}
+
+/** Dev-only: time single dedup legs at given (cores, shufflePartitions)
+  * combos over one staged corpus — for tuning the scaling probe's shape.
+  * Usage: runMain graft.DevProbe <nClips> <cores:parts,cores:parts,...> */
+object DevProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args(0).toLong
+    val combos = args(1).split(",").map { s =>
+      val Array(c, p) = s.split(":"); (c.toInt, p.toInt)
+    }
+    val stageDir = SparkUtil.localDir + "/dev-probe-corpus"
+    val s0 = SparkUtil.session(32, "dev-probe-stage")
+    ClipCorpus.clips(s0, CorpusConfig(seed = 42L, n = n)).toDF()
+      .write.mode("overwrite").parquet(stageDir)
+    s0.stop()
+    combos.foreach { case (cores, parts) =>
+      val canary = HwControls.cpuOps(4, 1500) / 1e6
+      val spark = SparkUtil.session(cores, s"dev-probe-$cores",
+        aqe = Some(false), shufflePartitions = Some(parts))
+      val clips = spark.read.parquet(stageDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      clips.count()
+      val t0 = System.nanoTime()
+      DedupPipeline.run(spark, clips,
+        DedupConfig.default.copy(collectMetrics = false)).clusters.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[devprobe] cores=$cores%2d parts=$parts%3d n=$n sec=$dt%8.2f canary=$canary%7.1f")
+      spark.stop()
+    }
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
+      f.delete(): Unit
+    }
+    rmr(new java.io.File(stageDir))
+  }
+}

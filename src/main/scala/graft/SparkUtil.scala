@@ -44,13 +44,18 @@ object SparkUtil {
     } else System.getProperty("java.io.tmpdir")
   }
 
-  def session(cores: Int, appName: String, aqe: Option[Boolean] = None): SparkSession = {
+  def session(cores: Int, appName: String, aqe: Option[Boolean] = None,
+              shufflePartitions: Option[Int] = None): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       // 2x cores: AQE coalesces surplus partitions, while exactly-cores
-      // partitioning makes every skewed task a straggler with idle cores
-      .config("spark.sql.shuffle.partitions", 2 * cores)
+      // partitioning makes every skewed task a straggler with idle cores.
+      // The scaling probe overrides this to the SAME count at both levels:
+      // different partition counts mean different per-task combine/spill
+      // behavior — a different JOB, not the same job at two parallelisms.
+      .config("spark.sql.shuffle.partitions",
+        shufflePartitions.getOrElse(2 * cores))
       // AQE stays ON by default (skew-join/coalesce are part of the scale
       // design). Each AQE query stage is a blocking driver round-trip
       // (~170 ms measured), which is noise when stages run minutes on a

@@ -124,6 +124,46 @@ object AudioPcm {
     }
   }
 
+  /** One pass over the int16 PCM computing BOTH per-frame RMS (int16-domain:
+    * exactly 32768x the float-domain RMS — power-of-two scaling commutes
+    * with every rounding step, and energyCodes normalizes by the clip max,
+    * so the codes are BIT-IDENTICAL to the decode-then-frame path) and
+    * zero-crossing counts (sign is scale-invariant), reading samples
+    * straight from the little-endian bytes. No decoded float array is
+    * materialized (4 bytes/sample of allocation+write on the signature
+    * stage's hottest kernel) and the sample scan runs once, not twice —
+    * the signature stage is DRAM-bound at high parallelism, so cut bytes
+    * moved, not just instructions. */
+  def frameRmsZcrFromPcm(bytes: Array[Byte], frame: Int,
+                         hop: Int): (Array[Double], Array[Int]) = {
+    val n = bytes.length / 2
+    if (n < frame) return (Array.empty, Array.empty)
+    val nFrames = (n - frame) / hop + 1
+    val rms = new Array[Double](nFrames)
+    val zcr = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val start = f * hop
+      var i = start
+      val end = start + frame
+      var prev = (((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      var acc = prev.toDouble * prev
+      var c = 0
+      i += 1
+      while (i < end) {
+        val v = (((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+        acc += v.toDouble * v
+        if ((v >= 0) != (prev >= 0)) c += 1
+        prev = v
+        i += 1
+      }
+      rms(f) = math.sqrt(acc / frame)
+      zcr(f) = c
+      f += 1
+    }
+    (rms, zcr)
+  }
+
   /**
    * Distinct shingle hashes over the energy-code sequence: each shingle is
    * `framesPerShingle` consecutive codes, rolled into a 64-bit mix.
@@ -131,11 +171,9 @@ object AudioPcm {
    */
   def shinglesJvm(bytes: Array[Byte], srHz: Int, frameMs: Int, hopMs: Int,
                   framesPerShingle: Int, levels: Int): Array[Long] = {
-    val samples = decodeJvm(bytes)
     val frame = math.max(1, srHz * frameMs / 1000)
     val hop = math.max(1, srHz * hopMs / 1000)
-    val rms = frameRms(samples, frame, hop)
-    val zcr = frameZcr(samples, frame, hop)
+    val (rms, zcr) = frameRmsZcrFromPcm(bytes, frame, hop)
     // primitive array + sort-dedup, NOT a HashSet[Long]: boxing every hash
     // across 32 executor threads makes the signature stage GC-bound.
     val nWin = math.max(1, rms.length - framesPerShingle + 1)

@@ -130,7 +130,11 @@ object ConnectedComponents {
     * clusters) on one task and AQE does not split skewed window partitions;
     * the aggregation partial-combines map-side and the equi-join AQE-splits. */
   def clusters(edges: DataFrame, minSize: Int, nEdgesHint: Long = -1L): DataFrame = {
-    val assign = run(edges, nEdgesHint = nEdgesHint)
+    // checkpoint the assignment: it is consumed TWICE (sizes + join), and
+    // uncached each reference re-runs the whole components computation —
+    // measured as a ~2x serial term on the pipeline's critical path (CC wall
+    // was identical at 1 and 4 cores before this cut)
+    val (assign, _) = graft.SparkUtil.checkpointCut(run(edges, nEdgesHint = nEdgesHint))
     val sizes = assign.groupBy("component").agg(count(lit(1)).as("clusterSize"))
       .filter(col("clusterSize") >= minSize)
     assign.join(sizes, "component")

@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 /** Config for cross-method score fusion in search (the analog of the
   * reference's per-model weight dict + method selector,
   * weighted_models_demo.py:395-502). `method` picks which fused column ranks
-  * results: "weighted_fusion" or "adaptive_fusion". */
+  * results: "weighted_fusion" or "adaptive_fusion". Methods absent from
+  * `weights` contribute neither score nor weight to weighted_fusion (the
+  * reference's `if method in weights` guard) — include every method that
+  * should count, e.g. "exact" for identity matches in clip search. */
 final case class FusionConfig(
     weights: Map[String, Double],
     method: String = "weighted_fusion",

@@ -38,7 +38,6 @@ object ClipSearch {
              cfg: DedupConfig = DedupConfig.default, k: Int = 10,
              includeDeleted: Boolean = false,
              fusion: Option[graft.operators.FusionConfig] = None): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // checkpointCut (SparkUtil): cache + lineage cut + reclaimable blocks.
     // Search is the repeated-call API — every hub below is freed before
     // returning (leaked blocks cause ~2x eviction churn in later jobs), and
@@ -181,16 +180,15 @@ object ClipSearch {
           .select(col("probe_id"), col("match_id"),
             col("_m.score").as("score"), col("_m.method").as("method"))
     }
-    // materialize the (tiny, <= probes x k) result BEFORE dropping the
-    // intermediates it derives from, then return it cached — no storage
-    // blocks from this call outlive it except the result itself
-    val result = best
+    // checkpoint (not just cache) the tiny <= probes x k result BEFORE
+    // freeing the intermediates it derives from: a merely-cached result
+    // could evict and try to recompute through freed checkpoint blocks.
+    // Only the result's own blocks outlive the call.
+    val (result, _) = graft.SparkUtil.checkpointCut(best
       .withColumn("rank", row_number().over(
         Window.partitionBy("probe_id")
           .orderBy(col("score").desc, col("match_id"))))
-      .filter(col("rank") <= k)
-      .persist(MEMORY_AND_DISK)
-    result.count()
+      .filter(col("rank") <= k))
     Seq(freeProbeSigs, freeBandCands, freeCCands, freeStored, freeAScored)
       .foreach(_.apply())
     result

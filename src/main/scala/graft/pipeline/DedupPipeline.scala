@@ -198,12 +198,15 @@ object DedupPipeline {
       "clip_id", "_lt", cfg)
       .select(col("a"), col("b"), lit(0.9).as("score"), lit("containment").as("method"))
 
-    val dupPairs = exactPairs
+    // checkpointCut, not persist: freeing the upstream hub checkpoints below
+    // is only safe once NOTHING can recompute through them — a persisted-but
+    // -evictable dupPairs cache would re-derive through freed checkpoint
+    // blocks (observed: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in clusters.count
+    // after an eviction). The eager checkpoint materializes every branch and
+    // severs that lineage; it is the blocks the RETURNED result holds.
+    val (dupPairs, _) = graft.SparkUtil.checkpointCut(exactPairs
       .unionByName(textPairs).unionByName(audioPairs).unionByName(containPairs)
-      .dropDuplicates("a", "b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE count materializes every branch in a single job; the count feeds
-    // the metrics row, the pair cap, and the CC small-graph dispatch hint.
+      .dropDuplicates("a", "b"))
     val nPairs = dupPairs.count()
     if (cfg.collectMetrics) {
       // one job for both dropped-bucket counters (never silent, never serial)

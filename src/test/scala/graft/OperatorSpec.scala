@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.AudioPcm
 import graft.operators.{ContainmentJoin, PairVerifier}
+import org.apache.spark.sql.functions.{col, explode, size}
 
 /** Kernel-level checks for the verify-stage primitives. */
 class OperatorSpec extends SparkSpec {
@@ -110,6 +111,46 @@ class OperatorSpec extends SparkSpec {
       assert(fa.intersect(fb).nonEmpty)
       assert(ContainmentJoin.longestCommonRunJvm(a, b) >= 70)
     }
+  }
+
+  test("fused int16 frame kernel == decode-then-frame float path (bit-exact)") {
+    // the fused kernel works in the int16 domain (32768x the float RMS);
+    // power-of-two scaling commutes with every rounding step, so the values
+    // must match EXACTLY after rescale — not approximately
+    val rng = new graft.sources.ClipCorpus.Rng(7L)
+    (0 until 20).foreach { _ =>
+      val n = 500 + rng.nextInt(4000)
+      val bytes = Array.fill(2 * n)(rng.nextLong().toByte)
+      val samples = AudioPcm.decodeJvm(bytes)
+      val frame = 80 + rng.nextInt(200)
+      val hop = 20 + rng.nextInt(100)
+      val (rms, zcr) = AudioPcm.frameRmsZcrFromPcm(bytes, frame, hop)
+      val rmsF = AudioPcm.frameRms(samples, frame, hop)
+      val zcrF = AudioPcm.frameZcr(samples, frame, hop)
+      assert(zcr.toSeq == zcrF.toSeq)
+      assert(rms.length == rmsF.length)
+      rms.indices.foreach { i =>
+        assert(rms(i) == rmsF(i) * 32768.0,
+          s"frame $i: ${rms(i)} vs ${rmsF(i) * 32768.0}")
+      }
+    }
+  }
+
+  test("cappedCollect bounds the gathered list but counts every member") {
+    import graft.functions.CappedCollect.cappedCollect
+    val rows = (0 until 1000).map(i => (if (i < 950) "hot" else "cold", f"id$i%04d"))
+      .toDF("k", "id")
+    val out = rows.groupBy("k").agg(cappedCollect(10)(col("id")).as("g"))
+      .select(col("k"), size(col("g.ids")).as("kept"), col("g.n"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // NO group's buffer exceeds cap+1 ids; true sizes stay exact
+    assert(out("hot") == ((11, 950L)), s"hot=${out("hot")}")
+    assert(out("cold") == ((11, 50L)), s"cold=${out("cold")}")
+    // small groups keep their full membership (the pairing path needs it)
+    val ids = rows.groupBy("k").agg(cappedCollect(100)(col("id")).as("g"))
+      .filter(col("k") === "cold").select(explode(col("g.ids")))
+      .collect().map(_.getString(0)).toSet
+    assert(ids == (950 until 1000).map(i => f"id$i%04d").toSet)
   }
 
   test("fused one-shuffle bucket pairing == reference banded self-join") {

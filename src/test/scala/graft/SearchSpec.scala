@@ -87,6 +87,25 @@ class SearchSpec extends SparkSpec {
     assert((store.signatures.currentVersion, store.clusters.currentVersion) == vBefore)
   }
 
+  test("fusion-mode search ranks by the weighted cross-method score") {
+    import graft.operators.FusionConfig
+    val fc = FusionConfig(weights = Map("exact" -> 0.4, "text_minhash" -> 0.3,
+      "audio_minhash" -> 0.2, "containment" -> 0.1), method = "weighted_fusion",
+      threshold = 0.2)
+    val res = ClipSearch.search(spark, probeFrom(Seq(1L, 2L)), store, cfg,
+      k = 5, fusion = Some(fc)).collect()
+    Seq(1L, 2L).foreach { i =>
+      val mine = res.filter(_.getAs[String]("probe_id") == f"probe_clip_$i%08d")
+      assert(mine.nonEmpty, s"fusion search empty for probe $i")
+      assert(mine.forall(_.getAs[String]("method") == "weighted_fusion"))
+      val top = mine.filter(_.getAs[Int]("rank") == 1).head
+      // a byte-identical probe scores ~1.0 on every method it fires
+      // (containment's fixed 0.9 pulls the weighted mix slightly below 1)
+      assert(top.getAs[Double]("score") >= 0.9,
+        s"fused top score ${top.getAs[Double]("score")}")
+    }
+  }
+
   test("tombstoned entries are excluded unless includeDeleted (v3 semantics)") {
     val victim = "clip_00000000"
     IncrementalDedup.merge(spark, Seq.empty[Clip].toDF(), cfg, store,
