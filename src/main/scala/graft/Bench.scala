@@ -162,7 +162,7 @@ object Bench {
     //    level and reported, with a floor-adjusted efficiency (capped at
     //    1.0) as supplementary Amdahl evidence. Raw median stays first.
     val deadline = System.nanoTime() +
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "750").toLong * 1000000000L
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toLong * 1000000000L
     val minPairs = sys.env.getOrElse("SPARK_GRAFT_MIN_PAIRS", "3").toInt
     val maxPairsReps = 7
     val repsN = scala.collection.mutable.ArrayBuffer[Double]()
