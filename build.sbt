@@ -28,4 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Xms = Xmx: G1 never uncommits below Xms, so on lazily-backed VMs
+  // (hypervisor balloon: first touch of a NEW page measured ~100x slower
+  // than re-use) heap pages faulted once stay warm for the JVM's lifetime
+  // instead of being re-stolen after GC shrinks the heap.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -60,17 +60,23 @@ object Bench {
     dt
   }
 
-  /** One probe leg: the full dedup job at `cores` local cores. AQE is OFF in
-    * probe sessions (both levels identically): each AQE query stage is a
-    * blocking ~170 ms driver round-trip — a serial cost that vanishes at
-    * cluster scale where stages run minutes, but biases a small local leg's
-    * N-vs-4N ratio. The headline run keeps AQE on. `parts` fixes
-    * spark.sql.shuffle.partitions IDENTICALLY at both levels so the two
-    * legs run the same physical plan over the same task granularity. */
+  /** One probe leg: the full dedup job at `cores` local cores. AQE is ON in
+    * probe sessions — with it off, the endpoint semi-joins (PairVerifier,
+    * repSigs) lose their runtime broadcasts and degrade to full-table
+    * sort-merge shuffles of the multi-GB signature table: a plan the engine
+    * never runs in production, dominated by scratch-write bandwidth. Its
+    * driver round-trips are a real serial cost; the probe corpus is sized so
+    * they stay a small fraction (and the in-run floor legs measure them).
+    * Partition COALESCING is off and `parts` fixes shuffle partitions
+    * IDENTICALLY at both levels: coalescing's parallelismFirst heuristic
+    * keys on core count, which would hand the two legs different task
+    * granularities — a different job, not the same job at two
+    * parallelisms. */
   private def probe(cores: Int, n: Long, fromDir: Option[String],
                     parts: Int): Double = {
     val spark = SparkUtil.session(cores, s"graft-probe-$cores",
-      aqe = Some(false), shufflePartitions = Some(parts))
+      aqe = Some(true), shufflePartitions = Some(parts),
+      aqeCoalesce = Some(false))
     val t = dedupSeconds(spark, n, fromDir)
     spark.stop()
     t
@@ -88,15 +94,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nClips = ClipQueries.clipCount(sfDir)
     // the scaling probe runs a LARGER corpus than the headline: the pipeline
-    // has a measured serial floor per run (driver planning, action barriers;
-    // ~3.5 s with AQE off after the round-3 lineage-cut work) that is
-    // constant while task work scales with rows, so small corpora understate
-    // the job's true scaling (Amdahl; at the north star's 10^12 rows the
-    // floor is noise). 5x = 100k clips at sf0.1 keeps the floor < 5% of the
-    // N leg while a pair costs ~2 min — the host's effective speed swings
-    // >2x on minute scales (same 4-core leg measured 58 s and 124 s under
-    // near-identical canaries), so MANY short pairs + median beats few long
-    // ones.
+    // has a measured serial floor per run (driver planning, action barriers,
+    // AQE stage round-trips) that is constant while task work scales with
+    // rows, so small corpora understate the job's true scaling (Amdahl; at
+    // the north star's 10^12 rows the floor is noise). 5x = 100k clips at
+    // sf0.1 keeps the floor ~5% of the N leg while a pair fits ~2-3 min, so
+    // >= 3 interleaved pairs + median land inside the budget — the host's
+    // effective speed swings >2x on minute scales (hypervisor balloon;
+    // identical legs measured 97 s and 1784 s under near-identical CPU
+    // canaries), so MANY short gated pairs + median beats fewer long ones,
+    // and the residual floor is measured in-run and reported as the
+    // floor-adjusted supplementary metric.
     val probeClips = sys.env.get("SPARK_GRAFT_PROBE_CLIPS").map(_.toLong)
       .getOrElse(if (sfDir.contains("sf0.1")) nClips * 5 else nClips)
     // Scaling pair: N=1 vs 4N=4 cores. Measured host ceilings (HwControlsMain,
@@ -116,6 +124,32 @@ object Bench {
     // combine/spill behavior, i.e. a different job, not the same job at two
     // parallelisms
     val probeParts = 2 * fourN
+
+    // ---- part 0: VM memory warm-up ----
+    // On a lazily-backed VM (balloon / UFFD snapshot restore) the FIRST
+    // touch of each page costs ~100 us — the identical dedup leg measured
+    // 967 s cold vs ~100 s warm on this sandbox with identical cpu/mem
+    // canaries. Pages faulted once stay cheap for the VM's lifetime (even
+    // after release), so when the first-touch rate is slow the bench faults
+    // in the working set ONCE up front — otherwise every timed number
+    // measures the hypervisor's fault path, not the engine. Reported in the
+    // output JSON so a cold-start run is auditable.
+    // Warming is UNCONDITIONAL: a threshold gate on a small fault probe is
+    // unreliable — the probe can hit a warm pocket of the free pool while
+    // the 30 GB of heap growth behind it still crawls (observed: probe read
+    // 0.3 GB/s, then the headline JVM grew at 75 MB/s for 10 minutes). On a
+    // healthy/warm VM the whole warm-up costs well under a minute; on a cold
+    // one it pays exactly the fault bill the timed runs would otherwise pay.
+    val faultBefore = HwControls.faultGBps(8, 2.0)
+    val warmGb = sys.env.getOrElse("SPARK_GRAFT_WARM_GB", "48").toDouble
+    // heap first: with -Xms=-Xmx (build.sbt) heap pages faulted here stay
+    // warm for the JVM's LIFETIME — the free-pool warm below decays as the
+    // hypervisor re-steals released pages on a minutes timescale
+    if (warmGb > 0) {
+      HwControls.warmHeap(0.6)
+      HwControls.warmPages(warmGb, 32): Unit
+    }
+    val faultAfter = HwControls.faultGBps(8, 2.0)
 
     // ---- part 1: headline queries at full parallelism ----
     val spark = session(cpus)
@@ -156,11 +190,12 @@ object Bench {
     //  * within accepted pairs the residual canary correction
     //    (raw x cN/c4N, bounded by the 20% gate) is applied and CAPPED at
     //    1.0 — an efficiency above 1.0 is never reported.
-    //  * probe legs run with AQE off (see `probe`), identically at both
-    //    levels; the remaining serial floor (driver planning + action
-    //    barriers) is MEASURED in-run via a near-zero-work 1k-clip leg per
-    //    level and reported, with a floor-adjusted efficiency (capped at
-    //    1.0) as supplementary Amdahl evidence. Raw median stays first.
+    //  * probe legs run AQE-on / coalescing-off (see `probe`), identically
+    //    at both levels; the remaining serial floor (driver planning + AQE
+    //    round-trips + action barriers) is MEASURED in-run via a
+    //    near-zero-work 1k-clip leg per level and reported, with a
+    //    floor-adjusted efficiency (capped at 1.0) as supplementary Amdahl
+    //    evidence. Raw median stays first.
     val deadline = System.nanoTime() +
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toLong * 1000000000L
     val minPairs = sys.env.getOrElse("SPARK_GRAFT_MIN_PAIRS", "3").toInt
@@ -252,7 +287,7 @@ object Bench {
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val scaling =
       f"""{"n_cores":$nCores,"four_n_cores":$fourN,"clips":$probeClips,""" +
-        s""""aqe_in_probe":false,""" +
+        s""""aqe_in_probe":true,"aqe_coalesce_in_probe":false,""" +
         f""""sec_n":$tN%.3f,"sec_4n":$t4N%.3f,""" +
         s""""sec_n_reps":${repJson(repsN.toSeq)},"sec_4n_reps":${repJson(reps4N.toSeq)},""" +
         f""""clips_per_sec_n":$thrN%.1f,"clips_per_sec_4n":$thr4N%.1f,""" +
@@ -267,6 +302,8 @@ object Bench {
         s""""canary_mops_4n":${repJson(canary4N.toSeq.map(_ / 1e6))},""" +
         s""""canary_memgbps_n":${repJson(memCanN.toSeq)},""" +
         s""""canary_memgbps_4n":${repJson(memCan4N.toSeq)},""" +
+        f""""fault_gbps_before":$faultBefore%.3f,"fault_gbps_after":$faultAfter%.3f,""" +
+        f""""warmed_gb":$warmGb%.0f,""" +
         f""""cpu_control_mops_n":${cpuN / 1e6}%.1f,"cpu_control_mops_4n":${cpu4N / 1e6}%.1f,""" +
         f""""cpu_control_efficiency":$cpuEff%.3f,""" +
         f""""mem_control_gbps_n":$memN%.1f,"mem_control_gbps_4n":$mem4N%.1f,""" +

@@ -9,6 +9,12 @@ import graft.sources.{ClipCorpus, CorpusConfig}
   * Usage: runMain graft.DevProbe <nClips> <cores:parts,cores:parts,...> */
 object DevProbe {
   def main(args: Array[String]): Unit = {
+    // same VM warm-up as Bench: without it, leg times measure the
+    // hypervisor's page-fault path, not the engine (967 s vs ~100 s for the
+    // identical leg, at identical cpu canaries)
+    HwControls.warmHeap(0.6)
+    HwControls.warmPages(
+      sys.env.getOrElse("SPARK_GRAFT_WARM_GB", "48").toDouble, 32): Unit
     val n = args(0).toLong
     val combos = args(1).split(",").map { s =>
       val Array(c, p) = s.split(":"); (c.toInt, p.toInt)
@@ -21,7 +27,8 @@ object DevProbe {
     combos.foreach { case (cores, parts) =>
       val canary = HwControls.cpuOps(4, 1500) / 1e6
       val spark = SparkUtil.session(cores, s"dev-probe-$cores",
-        aqe = Some(false), shufflePartitions = Some(parts))
+        aqe = Some(true), shufflePartitions = Some(parts),
+        aqeCoalesce = Some(false))
       val clips = spark.read.parquet(stageDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       clips.count()

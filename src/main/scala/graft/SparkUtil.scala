@@ -35,17 +35,40 @@ object SparkUtil {
     (cp, () => rdd.foreach(_.unpersist(blocking = false)))
   }
 
-  def localDir: String = {
+  /** Scratch directory for spark.local.dir — chosen by MEASUREMENT, once per
+    * JVM. tmpfs is the obvious pick (RAM-speed, no device), but on
+    * lazily-backed VMs (memory balloon / UFFD snapshot restore) every NEW
+    * tmpfs page is a hypervisor round-trip: measured 9 MB/s on this
+    * sandbox's cold VM vs 137 MB/s sustained on its ext4 disk — tmpfs there
+    * turns every shuffle/spill write into the bottleneck, and which medium
+    * wins flips with the balloon's state. A 24 MB write probe of each
+    * candidate picks the faster one; override with SPARK_GRAFT_LOCAL_DIR.
+    * (Cluster equivalent: point executors at NVMe scratch and measure it.) */
+  lazy val localDir: String = sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
+    def probe(dir: java.io.File): Double = {
+      if (!dir.isDirectory || !dir.canWrite) return 0.0
+      val f = java.io.File.createTempFile("graft-probe", ".bin", dir)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        val out = new java.io.FileOutputStream(f)
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 24) { out.write(buf); i += 1 }
+        out.close()
+        24.0 / ((System.nanoTime() - t0) / 1e9) // MB/s
+      } finally { f.delete(): Unit }
+    }
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) {
-      val d = new java.io.File(shm, "spark-graft-local")
-      d.mkdirs()
-      d.getAbsolutePath
-    } else System.getProperty("java.io.tmpdir")
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val pick = if (probe(shm) >= probe(tmp)) shm else tmp
+    val d = new java.io.File(pick, "spark-graft-local")
+    d.mkdirs()
+    d.getAbsolutePath
   }
 
   def session(cores: Int, appName: String, aqe: Option[Boolean] = None,
-              shufflePartitions: Option[Int] = None): SparkSession = {
+              shufflePartitions: Option[Int] = None,
+              aqeCoalesce: Option[Boolean] = None): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -64,6 +87,15 @@ object SparkUtil {
       // probe's legs) lets the bench measure that serial floor honestly.
       .config("spark.sql.adaptive.enabled", aqe.map(_.toString)
         .getOrElse(sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
+      // The scaling probe keeps AQE ON (runtime broadcast of the endpoint
+      // semi-join sides is part of the engine's plan — with AQE off those
+      // joins degrade to full-table sort-merge shuffles of the multi-GB
+      // signature table) but turns partition COALESCING off: its
+      // parallelismFirst heuristic keys on defaultParallelism = core count,
+      // which would hand the N and 4N legs different task granularities —
+      // a different job, not the same job at two parallelisms.
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        aqeCoalesce.map(_.toString).getOrElse("true"))
       // AQE re-renders the FULL plan explain string on every query-stage
       // update (AdaptiveSparkPlanExec.onUpdatePlan -> explainString) just to
       // post a listener event; with deep plans (bucket-pruned multi-table
@@ -76,6 +108,26 @@ object SparkUtil {
       // regex-compiling nodeName per node (jstack: Pattern.compile under
       // TreeNode.nodeName), which truncation alone does not skip.
       .config("spark.sql.ui.explainMode", "simple")
+      // 64 MB broadcast threshold (default 10 MB): the pipeline's verify
+      // stages semi-join/join against pair-endpoint id sets and candidate
+      // pair tables that measure 5-20 MB at bench scale — just over the
+      // default, so the planner degrades them to sort-merge joins that
+      // shuffle the multi-GB signature/byte tables. The build sides here
+      // are bounded by the candidate caps, not the corpus, so 64 MB is safe
+      // for the driver; at cluster scale AQE still only broadcasts sides
+      // that are ACTUALLY small at runtime.
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // The LSH bucket gather is a size-capped object aggregation
+      // (graft.functions.CappedCollect). The default sort-based fallback
+      // threshold (128 keys!) pushes virtually every band-key group through
+      // serialize -> external-sort -> spill -> per-key buffer rebuild: for
+      // millions of tiny buckets that is minutes of CPU and GBs of scratch
+      // writes. Buffers are size-capped by construction (~150 B typical), so
+      // 2M keys/task ≈ 300 MB — hash-mode aggregation stays in memory; the
+      // sort-based path remains the safety net beyond that.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        2000000)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", localDir)

@@ -68,6 +68,10 @@ object DedupPipeline {
       col("transcript"))
       .withColumn("tsig", tSigUdf(col("twshingles")))
       .withColumn("asig", aSigUdf(col("ashingles")))
+      // twshingles exists only to feed tsig: dropping it here keeps ~1-2 KB
+      // per row out of the checkpointed hub table every downstream stage
+      // scans (and out of the stage commit at 10^12 rows)
+      .drop("twshingles")
   }
 
   /** Exact-identity star edges (stage a of run, public for the DuckDB-
