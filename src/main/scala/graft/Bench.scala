@@ -151,15 +151,29 @@ object Bench {
     }
     val faultAfter = HwControls.faultGBps(8, 2.0)
 
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toLong
+
     // ---- part 1: headline queries at full parallelism ----
     val spark = session(cpus)
     val qmap = SparkEntry.queries
     // warm-up: a small untimed dedup run pays the JIT/codegen cost so the
     // timed headline measures the engine, not the JVM (round-over-round
-    // deltas were ~5x noise when the headline was the cold first run)
+    // deltas were ~5x noise when the headline was the cold first run).
+    // The timed run then repeats once and takes the MIN — standard practice
+    // on a host whose effective speed drifts 2-3x on minute scales — unless
+    // the first run already ate >25% of the bench budget (sick-host window:
+    // preserve the budget for the scaling probe, whose canary gates will
+    // flag the sickness explicitly).
+    var headlineReps = 0
     val tFull = try {
       dedupSeconds(spark, math.min(nClips, nClips / 5 + 1000))
-      dedupSeconds(spark, nClips)
+      val t1 = dedupSeconds(spark, nClips)
+      headlineReps = 1
+      if (t1 < 0.25 * budgetS) {
+        headlineReps = 2
+        math.min(t1, dedupSeconds(spark, nClips))
+      } else t1
     } catch { case e: Throwable => System.err.println(s"[bench] dedup: $e"); Double.NaN }
     val results = ("clip_dedup_clusters" -> (if (tFull.isNaN) -1.0 else tFull)) +:
       headline.filter(qmap.contains).map { name =>
@@ -196,8 +210,7 @@ object Bench {
     //    near-zero-work 1k-clip leg per level and reported, with a
     //    floor-adjusted efficiency (capped at 1.0) as supplementary Amdahl
     //    evidence. Raw median stays first.
-    val deadline = System.nanoTime() +
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toLong * 1000000000L
+    val deadline = System.nanoTime() + budgetS * 1000000000L
     val minPairs = sys.env.getOrElse("SPARK_GRAFT_MIN_PAIRS", "3").toInt
     val maxPairsReps = 7
     val repsN = scala.collection.mutable.ArrayBuffer[Double]()
@@ -210,9 +223,28 @@ object Bench {
     // invalidates a pair that the CPU canary alone would accept
     val memCanN = scala.collection.mutable.ArrayBuffer[Double]()
     val memCan4N = scala.collection.mutable.ArrayBuffer[Double]()
+    // a pair is ACCEPTED when neither the host's compute speed nor its DRAM
+    // bandwidth shifted between the two legs (CPU canaries within 20%,
+    // memory canaries within 30%)
+    def pairOk(i: Int): Boolean = {
+      val cRatio = canaryN(i) / canary4N(i)
+      val mRatio = memCanN(i) / memCan4N(i)
+      cRatio >= 0.8 && cRatio <= 1.25 && mRatio >= 0.7 && mRatio <= 1.43
+    }
+    var acceptedCount = 0
+    // grace-pair gate: when every pair so far was canary-rejected (the host
+    // was sick for the whole window), one more pair is worth its budget
+    // overrun ONLY if the host has since recovered — i.e. a fresh canary
+    // reads at least as fast as the best one seen. Costs ~2.5 s to ask.
+    def hostRecovered(): Boolean = {
+      val c = HwControls.cpuOps(4, 1500)
+      val m = HwControls.memGBps(4, 1000)
+      c >= 0.8 * (canaryN ++ canary4N).max && m >= 0.7 * (memCanN ++ memCan4N).max
+    }
     var rep = 0
     while (rep < minPairs ||
-        (rep < maxPairsReps && System.nanoTime() < deadline)) {
+        (rep < maxPairsReps && System.nanoTime() < deadline) ||
+        (acceptedCount == 0 && rep < minPairs + 2 && hostRecovered())) {
       // ALTERNATE leg order per pair: a monotonic host slowdown biases
       // N-first pairs one way and 4N-first pairs the other, so the median
       // over alternating pairs cancels first-order drift instead of
@@ -228,6 +260,7 @@ object Bench {
         reps4N += probe(fourN, probeClips, Some(stageDir), probeParts)
       }
       if (rep % 2 == 0) { legN(); leg4N() } else { leg4N(); legN() }
+      if (pairOk(rep)) acceptedCount += 1
       rep += 1
     }
     // hardware-ceiling controls ONCE per level (not per pair — 18 s/pair of
@@ -249,20 +282,20 @@ object Bench {
     }
     rmr(new java.io.File(stageDir))
 
-    // pair acceptance: CPU canaries within 20% AND memory canaries within
-    // 30% (the host shifted neither compute speed nor DRAM bandwidth
-    // between the two legs of the pair)
     val pairs = repsN.indices.map { i =>
       val raw = repsN(i) / (4.0 * reps4N(i))
       val cRatio = canaryN(i) / canary4N(i)
-      val mRatio = memCanN(i) / memCan4N(i)
-      val ok = cRatio >= 0.8 && cRatio <= 1.25 && mRatio >= 0.7 && mRatio <= 1.43
-      (repsN(i), reps4N(i), raw, math.min(1.0, raw * cRatio), ok)
+      (repsN(i), reps4N(i), raw, math.min(1.0, raw * cRatio), pairOk(i))
     }
     val accepted = pairs.filter(_._5)
     val used = if (accepted.nonEmpty) accepted else pairs
     val canaryUnstable = accepted.isEmpty
-    val eff = median(used.map(_._3))
+    // HEADLINE efficiency: median raw over accepted pairs, CAPPED at 1.0 —
+    // a single-box job cannot truly scale superlinearly, so any raw > 1.0
+    // is host drift the gates missed; reporting it would be claiming the
+    // impossible. The uncapped raw median is kept alongside for audit.
+    val effRaw = median(used.map(_._3))
+    val eff = math.min(1.0, effRaw)
     val effCorr = median(used.map(_._4))
     val tN = median(used.map(_._1))
     val t4N = median(used.map(_._2))
@@ -291,7 +324,7 @@ object Bench {
         f""""sec_n":$tN%.3f,"sec_4n":$t4N%.3f,""" +
         s""""sec_n_reps":${repJson(repsN.toSeq)},"sec_4n_reps":${repJson(reps4N.toSeq)},""" +
         f""""clips_per_sec_n":$thrN%.1f,"clips_per_sec_4n":$thr4N%.1f,""" +
-        f""""efficiency":$eff%.3f,""" +
+        f""""efficiency":$eff%.3f,"efficiency_raw_median":$effRaw%.3f,""" +
         s""""efficiency_pairs":${repJson(pairs.map(_._3))},""" +
         s""""pairs_accepted":${repJson(pairs.map(p => if (p._5) 1.0 else 0.0))},""" +
         s""""canary_unstable":$canaryUnstable,""" +
@@ -314,7 +347,7 @@ object Bench {
     val cps = if (tFull.isNaN || tFull <= 0) -1.0 else nClips / tFull
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","clips":$nClips,""" +
+        s""""sf":"$sfDir","clips":$nClips,"headline_reps":$headlineReps,""" +
         f""""clips_per_sec":$cps%.1f,"full_cores":$cpus,"scaling":$scaling}""")
   }
 }
