@@ -232,10 +232,12 @@ object Bench {
       cRatio >= 0.8 && cRatio <= 1.25 && mRatio >= 0.7 && mRatio <= 1.43
     }
     var acceptedCount = 0
-    // grace-pair gate: when every pair so far was canary-rejected (the host
-    // was sick for the whole window), one more pair is worth its budget
-    // overrun ONLY if the host has since recovered — i.e. a fresh canary
-    // reads at least as fast as the best one seen. Costs ~2.5 s to ask.
+    // grace-pair gate: when fewer than TWO pairs survived the canary gates
+    // (the host was sick for most of the window — a single accepted pair is
+    // exactly the thin evidence the round-2 record was faulted for), one more
+    // pair is worth its budget overrun ONLY if the host has since recovered —
+    // i.e. a fresh canary reads at least as fast as the best one seen.
+    // Costs ~2.5 s to ask.
     def hostRecovered(): Boolean = {
       val c = HwControls.cpuOps(4, 1500)
       val m = HwControls.memGBps(4, 1000)
@@ -244,7 +246,7 @@ object Bench {
     var rep = 0
     while (rep < minPairs ||
         (rep < maxPairsReps && System.nanoTime() < deadline) ||
-        (acceptedCount == 0 && rep < minPairs + 2 && hostRecovered())) {
+        (acceptedCount < 2 && rep < minPairs + 3 && hostRecovered())) {
       // ALTERNATE leg order per pair: a monotonic host slowdown biases
       // N-first pairs one way and 4N-first pairs the other, so the median
       // over alternating pairs cancels first-order drift instead of
