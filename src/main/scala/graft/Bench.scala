@@ -304,11 +304,17 @@ object Bench {
     val thrN = probeClips / tN
     val thr4N = probeClips / t4N
     // supplementary Amdahl evidence: subtract the measured serial floor from
-    // each accepted pair's legs (floor > leg cannot happen at probe size;
-    // clamp anyway), cap at 1.0
-    val effFloorAdj = math.min(1.0, median(used.map { case (a, b, _, _, _) =>
-      math.max(a - floorN, 1e-9) / (4.0 * math.max(b - floor4N, 1e-9))
-    }))
+    // each accepted pair's legs, cap at 1.0. The floor legs are themselves
+    // timed on this drifting host — when either reads implausibly large
+    // (> half its level's median leg time, seen only when a floor leg lands
+    // in a sick window), the floor measurement is invalid and the adjusted
+    // metric falls back to the raw median instead of reporting garbage.
+    val floorsSane = floorN < 0.5 * tN && floor4N < 0.5 * t4N
+    val effFloorAdj =
+      if (!floorsSane) eff
+      else math.min(1.0, median(used.map { case (a, b, _, _, _) =>
+        math.max(a - floorN, 1e-9) / (4.0 * math.max(b - floor4N, 1e-9))
+      }))
     val cpuEff = cpu4N / (4.0 * cpuN)
     val memEff = mem4N / (4.0 * memN)
     val allocEff = alloc4N / (4.0 * allocN)
@@ -332,6 +338,7 @@ object Bench {
         s""""canary_unstable":$canaryUnstable,""" +
         f""""efficiency_canary_corrected_capped":$effCorr%.3f,""" +
         f""""serial_floor_sec_n":$floorN%.3f,"serial_floor_sec_4n":$floor4N%.3f,""" +
+        s""""floors_sane":$floorsSane,""" +
         f""""efficiency_floor_adjusted_capped":$effFloorAdj%.3f,""" +
         s""""canary_mops_n":${repJson(canaryN.toSeq.map(_ / 1e6))},""" +
         s""""canary_mops_4n":${repJson(canary4N.toSeq.map(_ / 1e6))},""" +
