@@ -315,6 +315,14 @@ object Bench {
       else math.min(1.0, median(used.map { case (a, b, _, _, _) =>
         math.max(a - floorN, 1e-9) / (4.0 * math.max(b - floor4N, 1e-9))
       }))
+    // supplementary min-of-reps efficiency: on a host whose speed drifts
+    // WITHIN legs (invisible to adjacent canaries), the MINIMUM over
+    // interleaved identical legs is the least-contaminated estimate per
+    // level (standard min-of-N timing practice); pairing the two minima
+    // estimates the engine's efficiency with the host's noise mostly
+    // removed. Uses ALL reps (a canary-rejected pair still contains one
+    // clean leg more often than not), capped at 1.0.
+    val effMinLegs = math.min(1.0, repsN.min / (4.0 * reps4N.min))
     val cpuEff = cpu4N / (4.0 * cpuN)
     val memEff = mem4N / (4.0 * memN)
     val allocEff = alloc4N / (4.0 * allocN)
@@ -339,6 +347,7 @@ object Bench {
         f""""efficiency_canary_corrected_capped":$effCorr%.3f,""" +
         f""""serial_floor_sec_n":$floorN%.3f,"serial_floor_sec_4n":$floor4N%.3f,""" +
         s""""floors_sane":$floorsSane,""" +
+        f""""efficiency_min_legs_capped":$effMinLegs%.3f,""" +
         f""""efficiency_floor_adjusted_capped":$effFloorAdj%.3f,""" +
         s""""canary_mops_n":${repJson(canaryN.toSeq.map(_ / 1e6))},""" +
         s""""canary_mops_4n":${repJson(canary4N.toSeq.map(_ / 1e6))},""" +
