@@ -4,9 +4,9 @@ import graft.config.DedupConfig
 import graft.pipeline.DedupPipeline
 import graft.sources.{ClipCorpus, CorpusConfig}
 
-/** Dev-only: time single dedup legs at given (cores, shufflePartitions)
+/** Dev-only: time single dedup legs at given (cores, shufflePartitions[,aqe])
   * combos over one staged corpus — for tuning the scaling probe's shape.
-  * Usage: runMain graft.DevProbe <nClips> <cores:parts,cores:parts,...> */
+  * Usage: runMain graft.DevProbe <nClips> <cores:parts[:on|off],...> */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     // same VM warm-up as Bench: without it, leg times measure the
@@ -17,17 +17,20 @@ object DevProbe {
       sys.env.getOrElse("SPARK_GRAFT_WARM_GB", "48").toDouble, 32): Unit
     val n = args(0).toLong
     val combos = args(1).split(",").map { s =>
-      val Array(c, p) = s.split(":"); (c.toInt, p.toInt)
+      val parts = s.split(":")
+      (parts(0).toInt, parts(1).toInt,
+        if (parts.length > 2) parts(2) == "on" else true)
     }
     val stageDir = SparkUtil.localDir + "/dev-probe-corpus"
     val s0 = SparkUtil.session(32, "dev-probe-stage")
     ClipCorpus.clips(s0, CorpusConfig(seed = 42L, n = n)).toDF()
       .write.mode("overwrite").parquet(stageDir)
     s0.stop()
-    combos.foreach { case (cores, parts) =>
+    combos.foreach { case (cores, parts, aqeOn) =>
       val canary = HwControls.cpuOps(4, 1500) / 1e6
+      val memCan = HwControls.memGBps(4, 1000)
       val spark = SparkUtil.session(cores, s"dev-probe-$cores",
-        aqe = Some(true), shufflePartitions = Some(parts),
+        aqe = Some(aqeOn), shufflePartitions = Some(parts),
         aqeCoalesce = Some(false))
       val clips = spark.read.parquet(stageDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -36,7 +39,7 @@ object DevProbe {
       DedupPipeline.run(spark, clips,
         DedupConfig.default.copy(collectMetrics = false)).clusters.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[devprobe] cores=$cores%2d parts=$parts%3d n=$n sec=$dt%8.2f canary=$canary%7.1f")
+      println(f"[devprobe] cores=$cores%2d parts=$parts%3d aqe=$aqeOn n=$n sec=$dt%8.2f canary=$canary%7.1f mem=$memCan%5.1f")
       spark.stop()
     }
     def rmr(f: java.io.File): Unit = {

@@ -7,7 +7,7 @@ import graft.sources.{ClipCorpus, CorpusConfig}
 /** Dev-only: probe-identical dedup legs at two core counts with a per-stage
   * breakdown (wall / executor-run / cpu / gc, grouped by call site), to see
   * WHICH stages lose 1->4-core scaling efficiency.
-  * Usage: runMain graft.DevScale <nClips> <coresA> <coresB> [parts]
+  * Usage: runMain graft.DevScale <nClips> <coresA> <coresB> [parts] [aqe on|off]
   */
 object DevScale {
   final case class St(site: String, rt: Long, cpu: Long, gc: Long,
@@ -21,6 +21,7 @@ object DevScale {
     val coresA = args(1).toInt
     val coresB = args(2).toInt
     val parts = if (args.length > 3) args(3).toInt else 2 * math.max(coresA, coresB)
+    val aqeOn = if (args.length > 4) args(4) == "on" else true
 
     val stageDir = SparkUtil.localDir + "/dev-scale-corpus"
     val s0 = SparkUtil.session(32, "dev-scale-stage")
@@ -30,7 +31,7 @@ object DevScale {
 
     def leg(cores: Int): (Double, Seq[St]) = {
       val spark = SparkUtil.session(cores, s"dev-scale-$cores",
-        aqe = Some(true), shufflePartitions = Some(parts),
+        aqe = Some(aqeOn), shufflePartitions = Some(parts),
         aqeCoalesce = Some(false))
       val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, St]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

@@ -87,13 +87,15 @@ object SparkUtil {
       // probe's legs) lets the bench measure that serial floor honestly.
       .config("spark.sql.adaptive.enabled", aqe.map(_.toString)
         .getOrElse(sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
-      // The scaling probe keeps AQE ON (runtime broadcast of the endpoint
-      // semi-join sides is part of the engine's plan — with AQE off those
-      // joins degrade to full-table sort-merge shuffles of the multi-GB
-      // signature table) but turns partition COALESCING off: its
-      // parallelismFirst heuristic keys on defaultParallelism = core count,
-      // which would hand the N and 4N legs different task granularities —
-      // a different job, not the same job at two parallelisms.
+      // The scaling probe turns AQE OFF (its per-stage driver round-trips
+      // are serial cost that cannot overlap execution at 1 core — measured
+      // +23% on the N leg, flat on the 4N leg — so AQE-on "measures" the
+      // overhead, not the engine; the static 64 MB broadcast threshold
+      // below keeps the endpoint semi-joins broadcast without it) and also
+      // turns partition COALESCING off: its parallelismFirst heuristic
+      // keys on defaultParallelism = core count, which would hand the N
+      // and 4N legs different task granularities — a different job, not
+      // the same job at two parallelisms.
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         aqeCoalesce.map(_.toString).getOrElse("true"))
       // AQE re-renders the FULL plan explain string on every query-stage
