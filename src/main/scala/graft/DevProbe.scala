@@ -26,9 +26,15 @@ object DevProbe {
     ClipCorpus.clips(s0, CorpusConfig(seed = 42L, n = n)).toDF()
       .write.mode("overwrite").parquet(stageDir)
     s0.stop()
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     combos.foreach { case (cores, parts, aqeOn) =>
       val canary = HwControls.cpuOps(4, 1500) / 1e6
       val memCan = HwControls.memGBps(4, 1000)
+      val gc0 = gcMs
       val spark = SparkUtil.session(cores, s"dev-probe-$cores",
         aqe = Some(aqeOn), shufflePartitions = Some(parts),
         aqeCoalesce = Some(false))
@@ -39,7 +45,8 @@ object DevProbe {
       DedupPipeline.run(spark, clips,
         DedupConfig.default.copy(collectMetrics = false)).clusters.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[devprobe] cores=$cores%2d parts=$parts%3d aqe=$aqeOn n=$n sec=$dt%8.2f canary=$canary%7.1f mem=$memCan%5.1f")
+      val gcSec = (gcMs - gc0) / 1e3
+      println(f"[devprobe] cores=$cores%2d parts=$parts%3d aqe=$aqeOn n=$n sec=$dt%8.2f gc=$gcSec%6.2f canary=$canary%7.1f mem=$memCan%5.1f")
       spark.stop()
     }
     def rmr(f: java.io.File): Unit = {

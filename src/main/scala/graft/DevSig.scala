@@ -39,7 +39,7 @@ object DevSig {
       // compute-only: drain every column through an aggregate
       val t0 = System.nanoTime()
       sigsDf.agg(
-        sum(length(col("sha"))), sum(size(col("tshingles"))),
+        sum(length(col("sha"))),
         sum(size(col("ashingles"))), sum(size(col("cfps"))),
         expr("bit_xor(simhash)"), expr("bit_xor(element_at(tsig, 1))"),
         expr("bit_xor(element_at(asig, 1))")).collect()

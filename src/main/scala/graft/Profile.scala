@@ -125,7 +125,7 @@ object Profile {
       tcount("minhash(tsh)", tSigUdf(tsh))
       tcount("minhash(audio)", tSigUdf(audio))
       time("all-sigs")(DedupPipeline.signatures(spark, clips, cfg)
-        .agg(sum(hash(col("tsig"), col("asig"), col("tshingles"), col("sha"),
+        .agg(sum(hash(col("tsig"), col("asig"), col("sha"),
           col("simhash")).cast("long"))).collect())
       spark.stop()
       return
@@ -187,7 +187,7 @@ object Profile {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("contain-cands")(cands.count())
       println(s"[profile] contain cands=${cands.count()}")
-      val txt = sigs.select(col("clip_id"), lower(col("transcript")).as("_t"),
+      val txt = clips.select(col("clip_id"), lower(col("transcript")).as("_t"),
         ContainmentJoin.gramsUdf(lower(col("transcript"))).as("_g"))
       val w = cfg.containmentMinRun - ContainmentJoin.GramK + 1
       val joined = cands
@@ -330,7 +330,9 @@ object Profile {
     val aCands = candsP.filter(col("modality") === "audio").select("a", "b")
     val tc = tCands.count(); val ac = aCands.count()
 
-    val textPairs = PairVerifier.verify(tCands, sigs, "clip_id", "tshingles",
+    val tshFeatures = clips.select(col("clip_id"),
+      DedupPipeline.textShingleCol(cfg).as("tshingles"))
+    val textPairs = PairVerifier.verify(tCands, tshFeatures, "clip_id", "tshingles",
       cfg.textJaccardThreshold, "text_minhash").persist(MEMORY_AND_DISK)
     time("text-verify")(textPairs.count())
 
@@ -345,7 +347,7 @@ object Profile {
 
     val containPairs = ContainmentJoin.pairsFromFps(
       sigs.select(col("clip_id"), explode(col("cfps")).as("fp")),
-      sigs.select(col("clip_id"), lower(col("transcript")).as("_lt")),
+      clips.select(col("clip_id"), lower(col("transcript")).as("_lt")),
       "clip_id", "_lt", cfg).persist(MEMORY_AND_DISK)
     time("containment")(containPairs.count())
 

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 final case class StageMetric(stage: String, metric: String, value: Long)
 
 final case class PipelineResult(
-    signatures: DataFrame,   // clip_id, sha, tshingles, ashingles, tsig, asig, simhash
+    signatures: DataFrame,   // clip_id, sha, tHashExact, ashingles, tsig, asig, simhash, cfps
     dupPairs: DataFrame,     // a, b, score, method
     clusters: DataFrame,     // node, component, clusterSize
     metrics: Seq[StageMetric])
@@ -38,12 +38,19 @@ object DedupPipeline {
     * signature is a pure function of the row's shingle set; the
     * explode+groupBy form would shuffle the exploded corpus for nothing.
     * MinHashSpec pins the two paths equal). */
+  /** Char-gram shingle column for the exact text-verify metric — exposed so
+    * consumers that need shingles OUTSIDE the hub (run()'s endpoint-filtered
+    * text verify, the clip_signatures oracle query) derive them from the
+    * clips table instead of paying for them in every hub scan. */
+  def textShingleCol(cfg: DedupConfig): org.apache.spark.sql.Column =
+    TextShingles.charGramHashesUdf(cfg.charGramK)(lower(col("transcript")))
+
   def signatures(spark: SparkSession, clips: DataFrame, cfg: DedupConfig): DataFrame = {
     // row-local rolling-hash shingles (TextShingles.*31Jvm): same distinct
     // k-gram identity as the Catalyst charShingles/wordShingles forms (the
     // oracle queries keep those) with zero per-gram string allocation —
     // ShingleSpec pins set sizes and pair jaccards equal.
-    val tsh = TextShingles.charGramHashesUdf(cfg.charGramK)(lower(col("transcript")))
+    val tsh = textShingleCol(cfg)
     // LSH signature runs on word n-grams (low background J — see DedupConfig);
     // char-gram shingles stay for the exact verify metric.
     val twsh = TextShingles.wordNgramHashesUdf(cfg.textLshWordNgram)(lower(col("transcript")))
@@ -107,8 +114,18 @@ object DedupPipeline {
     // commits to a LakeTable snapshot — the durable, resumable form: a
     // restarted job with the same input fingerprint reads the committed
     // signatures instead of re-signing the corpus.
+    //
+    // The hub is NARROW: tshingles (~2.4 KB/row) and transcript are dropped
+    // before materialization — a checkpointed row store has no column
+    // pruning, so ~8 downstream joins re-stream the FULL row width per scan
+    // (GBs per run here, TBs of stage-table I/O at the north star). Each
+    // dropped column has exactly one consumer, which recomputes it from the
+    // COLUMNAR clips cache (pruned to the small transcript column) on the
+    // endpoint-filtered subset instead. Catalyst column-pruning removes the
+    // dropped columns' kernels from this plan entirely.
     val sigs = cfg.stageRoot match {
-      case None => signatures(spark, cachedClips, cfg).localCheckpoint(eager = true)
+      case None => signatures(spark, cachedClips, cfg)
+        .drop("tshingles", "transcript").localCheckpoint(eager = true)
       case Some(root) =>
         val t = new graft.sources.LakeTable(root, "signatures_stage")
         // CONTENT-sensitive fingerprint (id + content hash + transcript), not
@@ -127,7 +144,8 @@ object DedupPipeline {
             m.get("config_hash").contains(cfgh)
         }
         if (!resumable)
-          t.commit(signatures(spark, cachedClips, cfg), "stage",
+          t.commit(signatures(spark, cachedClips, cfg)
+            .drop("tshingles", "transcript"), "stage",
             Map("input_rows" -> n, "input_fingerprint" -> idh, "config_hash" -> cfgh))
         t.read(spark)
     }
@@ -175,7 +193,15 @@ object DedupPipeline {
     val tCands = cands.filter(col("modality") === "text").select("a", "b")
     val aCands = cands.filter(col("modality") === "audio").select("a", "b")
 
-    val textPairs = PairVerifier.verify(tCands, sigs, "clip_id", "tshingles",
+    // text-verify shingles come from the CLIPS cache, not the hub: the
+    // columnar clips cache prunes the scan to (clip_id, transcript) — a few
+    // tens of MB — and verify's endpoint semi-join pushes below the UDF
+    // projection, so shingles are recomputed only for candidate endpoints.
+    // Keeping them in the hub instead cost ~2.4 KB/row on EVERY downstream
+    // hub scan (no column pruning through a localCheckpoint).
+    val tshFeatures = cachedClips.select(
+      col("clip_id"), textShingleCol(cfg).as("tshingles"))
+    val textPairs = PairVerifier.verify(tCands, tshFeatures, "clip_id", "tshingles",
       cfg.textJaccardThreshold, "text_minhash")
 
     // (c) audio: the r=3 bands still pass a false tail; the signature-
@@ -198,7 +224,7 @@ object DedupPipeline {
     //     fingerprints come precomputed from the signature pass
     val containPairs = ContainmentJoin.pairsFromFps(
       repSigs.select(col("clip_id"), explode(col("cfps")).as("fp")),
-      sigs.select(col("clip_id"), lower(col("transcript")).as("_lt")),
+      cachedClips.select(col("clip_id"), lower(col("transcript")).as("_lt")),
       "clip_id", "_lt", cfg)
       .select(col("a"), col("b"), lit(0.9).as("score"), lit("containment").as("method"))
 

@@ -56,12 +56,22 @@ object ClipQueries {
 
   val signatures = QueryDef(
     "clip_signatures",
-    (spark, dir) =>
+    (spark, dir) => {
+      // text shingles live outside the hub (DedupPipeline.textShingleCol —
+      // hub-width discipline); recompute them from the same deterministic
+      // corpus the pipeline ran on
+      val tsh = ClipCorpus.clips(spark, corpusConfig(dir)).toDF()
+        .select(col("clip_id"),
+          size(DedupPipeline.textShingleCol(DedupConfig.default))
+            .cast("long").as("n_text_shingles"))
       pipelineFor(spark, dir).signatures
         .select(col("clip_id"), col("sha"), col("simhash"),
-          size(col("tshingles")).cast("long").as("n_text_shingles"),
           size(col("ashingles")).cast("long").as("n_audio_shingles"))
-        .orderBy("clip_id"),
+        .join(tsh, "clip_id")
+        .select(col("clip_id"), col("sha"), col("simhash"),
+          col("n_text_shingles"), col("n_audio_shingles"))
+        .orderBy("clip_id")
+    },
     None)
 
   /** Incremental MERGE demo: index the first 2/3, merge the rest, return the
