@@ -79,6 +79,24 @@ object Bench {
   private val probeAqe = false
   private def probe(cores: Int, n: Long, fromDir: Option[String],
                     parts: Int): Double = {
+    // Pre-fault the free pool the leg's scratch writes will consume, UNTIMED.
+    // On this lazily-backed VM a first-touch page costs ~100 us at the
+    // hypervisor and the balloon re-steals released pages on a minutes
+    // timescale, so each leg's fresh tmpfs shuffle pages (+ fresh direct
+    // buffers) carry a near-CONSTANT fault bill of seconds. A constant
+    // per-leg cost hits the 4N leg 4x harder in RELATIVE terms — exactly
+    // the Amdahl asymmetry that depresses measured efficiency — and the
+    // adjacent canaries are blind to it (they touch pre-allocated, already
+    // -warm buffers; observed leg-time swings of 1.5x under identical
+    // canary readings). Paying the bill here is also the cluster-honest
+    // choice: a real executor's scratch pages are resident. Cost when the
+    // pool is warm: <2 s; when sick, capped at 45 s paid OUTSIDE the clock.
+    val warmLegGb = sys.env.getOrElse("SPARK_GRAFT_WARM_LEG_GB", "8").toDouble
+    // the achieved fault rate doubles as a per-leg diagnostic (reported in
+    // the scaling JSON): it is the host signal the CPU/DRAM canaries miss
+    val rate = if (warmLegGb > 0) HwControls.warmPages(warmLegGb, 16, 45000)
+               else Double.NaN
+    legFaultRates += rate
     val spark = SparkUtil.session(cores, s"graft-probe-$cores",
       aqe = Some(probeAqe), shufflePartitions = Some(parts),
       aqeCoalesce = Some(false))
@@ -86,6 +104,7 @@ object Bench {
     spark.stop()
     t
   }
+  private val legFaultRates = scala.collection.mutable.ArrayBuffer[Double]()
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -359,6 +378,7 @@ object Bench {
         s""""canary_memgbps_n":${repJson(memCanN.toSeq)},""" +
         s""""canary_memgbps_4n":${repJson(memCan4N.toSeq)},""" +
         f""""fault_gbps_before":$faultBefore%.3f,"fault_gbps_after":$faultAfter%.3f,""" +
+        s""""leg_fault_gbps":${repJson(legFaultRates.toSeq)},""" +
         f""""warmed_gb":$warmGb%.0f,""" +
         f""""cpu_control_mops_n":${cpuN / 1e6}%.1f,"cpu_control_mops_4n":${cpu4N / 1e6}%.1f,""" +
         f""""cpu_control_efficiency":$cpuEff%.3f,""" +

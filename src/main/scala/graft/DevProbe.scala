@@ -34,6 +34,9 @@ object DevProbe {
     combos.foreach { case (cores, parts, aqeOn) =>
       val canary = HwControls.cpuOps(4, 1500) / 1e6
       val memCan = HwControls.memGBps(4, 1000)
+      // per-leg free-pool pre-fault, untimed — mirrors Bench.probe
+      HwControls.warmPages(
+        sys.env.getOrElse("SPARK_GRAFT_WARM_LEG_GB", "8").toDouble, 16, 45000): Unit
       val gc0 = gcMs
       val spark = SparkUtil.session(cores, s"dev-probe-$cores",
         aqe = Some(aqeOn), shufflePartitions = Some(parts),
