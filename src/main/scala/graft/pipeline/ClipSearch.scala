@@ -102,12 +102,27 @@ object ClipSearch {
         IncrementalDedup.bucketsOf(matchIds, store.signatures)))
         .join(matchIds, Seq("clip_id"), "left_semi"))
 
+    // narrow-store discipline: the signature table carries no transcripts
+    // or char-gram shingles (its two widest columns); the text/containment
+    // verifies read transcripts from the bucket-pruned CLIPS table for the
+    // matched candidate ids only and recompute shingles on that subset.
+    val txtIds = bandCands.filter(col("modality") === "text")
+      .select(col("match_id").as("clip_id"))
+      .union(cCands.select(col("match_id").as("clip_id")))
+      .distinct()
+    val (matchTxt, freeMatchTxt) = graft.SparkUtil.checkpointCut(
+      visible(store.clips.readBuckets(spark,
+        IncrementalDedup.bucketsOf(txtIds, store.clips)))
+        .join(txtIds, Seq("clip_id"), "left_semi")
+        .select(col("clip_id"), col("transcript")))
+
     val jac = udf((x: Array[Long], y: Array[Long]) => PairVerifier.jaccardLongJvm(x, y))
     val est = udf((x: Array[Long], y: Array[Long]) => PairVerifier.estimateJvm(x, y))
 
     val tScored = bandCands.filter(col("modality") === "text")
       .join(probeSigs.select(col("clip_id").as("probe_id"), col("tshingles").as("_sa")), "probe_id")
-      .join(stored.select(col("clip_id").as("match_id"), col("tshingles").as("_sb")), "match_id")
+      .join(matchTxt.select(col("clip_id").as("match_id"),
+        DedupPipeline.textShingleCol(cfg).as("_sb")), "match_id")
       .withColumn("score", jac(col("_sa"), col("_sb")))
       .filter(col("score") >= cfg.textJaccardThreshold)
       .select(col("probe_id"), col("match_id"), col("score"),
@@ -147,7 +162,7 @@ object ClipSearch {
       .join(probeSigs.select(col("clip_id").as("probe_id"),
         lower(col("transcript")).as("_ta"),
         cj.gramsUdf(lower(col("transcript"))).as("_ga")), "probe_id")
-      .join(stored.select(col("clip_id").as("match_id"),
+      .join(matchTxt.select(col("clip_id").as("match_id"),
         lower(col("transcript")).as("_tb"),
         cj.gramsUdf(lower(col("transcript"))).as("_gb")), "match_id")
       .filter(cj.sharedUdf(col("_ga"), col("_gb")) >= w)
@@ -189,8 +204,8 @@ object ClipSearch {
         Window.partitionBy("probe_id")
           .orderBy(col("score").desc, col("match_id"))))
       .filter(col("rank") <= k))
-    Seq(freeProbeSigs, freeBandCands, freeCCands, freeStored, freeAScored)
-      .foreach(_.apply())
+    Seq(freeProbeSigs, freeBandCands, freeCCands, freeStored, freeMatchTxt,
+      freeAScored).foreach(_.apply())
     result
   }
 }

@@ -178,7 +178,12 @@ object IncrementalDedup {
     // ---- 2. re-sign ONLY the delta ----
     val deltaClips = incoming.join(deltaIds, "clip_id")
       .persist(MEMORY_AND_DISK)
+    // NARROW, matching the stored schema: tshingles (~2.4 KB/row) and the
+    // raw transcript never enter the signature store — the text/containment
+    // verifies below recompute them from the clips table on candidate
+    // endpoints only (same discipline as the batch hub, DedupPipeline.run).
     val deltaSigs = DedupPipeline.signatures(spark, deltaClips, cfg)
+      .drop("tshingles", "transcript")
       .localCheckpoint(eager = true)
     val sigCols = deltaSigs.columns.toSeq
     val activeDelta = deltaSigs.join(deletes, Seq("clip_id"), "left_anti")
@@ -338,8 +343,29 @@ object IncrementalDedup {
         // and caching it would hold ~the whole table at small bucket counts
         .join(endIds, Seq("clip_id"), "left_semi"))
 
-    val textPairs = PairVerifier.verify(tCands, feats, "clip_id", "tshingles",
-      cfg.textJaccardThreshold, "text_minhash")
+    // text features live OUTSIDE the signature store (narrow-store
+    // discipline): transcripts for text/containment endpoints come from the
+    // bucket-pruned clips table (plus the in-flight delta), and char-gram
+    // shingles are recomputed on that endpoint-filtered subset only —
+    // never stored, never re-streamed through every signature scan.
+    val txtIds = tCands.select(col("a").as("clip_id"))
+      .union(tCands.select(col("b").as("clip_id")))
+      .union(cCands.select(col("a").as("clip_id")))
+      .union(cCands.select(col("b").as("clip_id")))
+      .distinct()
+    val (endTxt, freeEndTxt) = graft.SparkUtil.checkpointCut(
+      store.clips.readBuckets(spark, bucketsOf(txtIds, store.clips))
+        .filter(!col("is_deleted"))
+        .join(deltaIds, Seq("clip_id"), "left_anti")
+        .select(col("clip_id"), col("transcript"))
+        .unionByName(deltaClips.join(deletes, Seq("clip_id"), "left_anti")
+          .select(col("clip_id"), col("transcript")))
+        .join(txtIds, Seq("clip_id"), "left_semi"))
+
+    val textPairs = PairVerifier.verify(tCands,
+      endTxt.select(col("clip_id"),
+        DedupPipeline.textShingleCol(cfg).as("tshingles")),
+      "clip_id", "tshingles", cfg.textJaccardThreshold, "text_minhash")
     val (aPlausible, freeAPlausible) = graft.SparkUtil.checkpointCut(
       PairVerifier.estimateScreen(aCands, feats, "clip_id", "asig",
         cfg.audioEstimateMin))
@@ -361,7 +387,7 @@ object IncrementalDedup {
 
     // containment verify: gram prefilter + exact LCS on candidate endpoints
     val containPairs = {
-      val txt = feats.select(col("clip_id"), lower(col("transcript")).as("_lt"),
+      val txt = endTxt.select(col("clip_id"), lower(col("transcript")).as("_lt"),
         ContainmentJoin.gramsUdf(lower(col("transcript"))).as("_g"))
       val w = cfg.containmentMinRun - ContainmentJoin.GramK + 1
       cCands
@@ -509,7 +535,7 @@ object IncrementalDedup {
       touchedNodes, touchedComps, affectedNodes, prevPairsAff, subEdges,
       prevTouchedAssign)
       .foreach(_.unpersist())
-    Seq(freeBandCands, freeCCands, freeFeats, freeAPlausible,
+    Seq(freeBandCands, freeCCands, freeFeats, freeEndTxt, freeAPlausible,
       freeAudioScreened).foreach(_.apply())
   }
 
