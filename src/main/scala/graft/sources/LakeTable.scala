@@ -101,7 +101,14 @@ final class LakeTable(val root: String, val name: String,
 
   private def writeBuckets(df: DataFrame, v: Int): Path = {
     val out = dataPath(v)
+    // hash-distribute by the bucket column before the partitioned write
+    // (Iceberg's `write.distribution-mode=hash`): each bucket lands wholly
+    // in one task → exactly one file per non-empty bucket. Without it every
+    // input partition writes its own fragment into every bucket dir, and
+    // bucket-pruned reads pay (input partitions × buckets) file opens —
+    // measured as the dominant blocked-thread cost of small merges.
     df.withColumn("_bucket", bucketOf)
+      .repartition(numBuckets, col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(out.toString)
     out
   }
