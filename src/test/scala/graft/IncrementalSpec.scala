@@ -218,6 +218,21 @@ class IncrementalSpec extends SparkSpec {
       s"merge wrote $v1Bytes bytes vs $v0Bytes full — not O(delta)")
   }
 
+  test("bucket writes are hash-distributed: one parquet file per bucket") {
+    // writeBuckets repartitions by the bucket column before the partitioned
+    // write, so each bucket lands wholly in one task — bucket-pruned reads
+    // pay ONE file open per bucket, not (writer partitions x buckets)
+    val store = freshStore()
+    IncrementalDedup.initialize(spark, clipsRange(0, 200), cfg, store)
+    import scala.jdk.CollectionConverters._
+    store.signatures.bucketMap(0).values.toSeq.distinct.foreach { dir =>
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(files == 1, s"$dir has $files parquet files, expected exactly 1")
+    }
+  }
+
   test("O(delta) commit bytes hold at 1024 buckets where 32 would rewrite everything") {
     // a 100-row delta hashes into ~96 of 32 buckets (full rewrite) but only
     // <=100 of 1024 — bucket count sized to the table is what keeps merge
