@@ -205,6 +205,67 @@ object Profile {
       return
     }
 
+    if (args.length > 2 && args(2) == "sized") {
+      // sized-store regime (DedupStore.sized design point): the same corpus
+      // and the same 20-clip delta, at B = 32 / 1024 / 4096 buckets. The
+      // O(delta) story at thousands of buckets holds iff: merge wall stays
+      // roughly FLAT in B (commit shuffles O(touched) write tasks — pinning
+      // the shuffle to numBuckets made this O(B)), scheduled task count
+      // stays flat, and the delta's written bytes FALL ~1/B (write
+      // amplification is ~N/B rows per touched bucket).
+      import graft.pipeline.{DedupStore, IncrementalDedup}
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
+        f.delete(): Unit
+      }
+      def purge(): Unit = {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
+      def dirBytes(p: java.nio.file.Path): Long =
+        if (!java.nio.file.Files.exists(p)) 0L
+        else {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.walk(p)
+          try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+          finally s.close()
+        }
+      val dn = 20L
+      val delta = ClipCorpus.clipsRange(spark,
+        CorpusConfig(seed = 42L, n = n + dn), n, n + dn).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      delta.count()
+      val tasks = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet(): Unit
+        }
+      })
+      val tables = Seq("clips", "signatures", "dup_pairs", "clusters",
+        "clusters_by_comp", "bands", "fps", "exact_keys")
+      Seq(32, 1024, 4096).foreach { b =>
+        val root = new java.io.File(SparkUtil.localDir, s"profile-sized-$n-$b")
+        rmr(root)
+        val store = new DedupStore(root.getAbsolutePath, b)
+        time(s"initialize-$n-B$b")(
+          IncrementalDedup.initialize(spark, clips, cfg, store))
+        purge()
+        tasks.set(0)
+        time(s"merge-$dn-B$b")(IncrementalDedup.merge(spark, delta, cfg, store))
+        Thread.sleep(1000) // listener bus drain
+        val v0 = tables.map(t => dirBytes(
+          java.nio.file.Paths.get(root.getAbsolutePath, t, "data/v0"))).sum
+        val v1 = tables.map(t => dirBytes(
+          java.nio.file.Paths.get(root.getAbsolutePath, t, "data/v1"))).sum
+        println(f"[profile] B=$b%-5d merge-tasks=${tasks.get}%-6d " +
+          f"full-bytes=$v0%-10d delta-bytes=$v1%-9d rewrite-frac=${v1.toDouble / v0}%.4f")
+        rmr(root)
+      }
+      spark.stop()
+      return
+    }
+
     if (args.length > 2 && args(2) == "merge") {
       // incremental-path latency vs store size: initialize an n-clip store,
       // then merge a 1% delta, re-merge it (no-op), and search 100 probes.

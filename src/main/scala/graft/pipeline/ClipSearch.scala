@@ -148,8 +148,15 @@ object ClipSearch {
       .select(col("clip_id").as("match_id"), col("bytes").as("_bb"), col("sr_hz").as("_srb"))
     val probeBytes = probes.select(col("clip_id").as("probe_id"),
       col("bytes").as("_ba"), col("sr_hz").as("_sra"))
+    // SAME geometry gate as the batch/merge verify (PairVerifier.pcmConfirm):
+    // sample-rate equality AND length ratio >= 0.9. pcmCorrJvm truncates to
+    // the shorter signal, so without the ratio gate a short probe matching a
+    // long stored clip's PREFIX passed search while merge rejected the same
+    // pair — search and index must agree on every verdict (SearchSpec pins it)
     val aConfirmed = aScored.join(probeBytes, "probe_id").join(matchBytes, "match_id")
       .filter(col("_sra") === col("_srb"))
+      .filter(least(length(col("_ba")), length(col("_bb"))).cast("double") /
+        greatest(length(col("_ba")), length(col("_bb"))) >= 0.9)
       .filter(corr(col("_ba"), col("_bb")) >= cfg.pcmCorrMin)
       .select(col("probe_id"), col("match_id"), col("score"),
         lit("audio_minhash").as("method"))

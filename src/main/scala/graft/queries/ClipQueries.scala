@@ -218,6 +218,107 @@ object ClipQueries {
       |SELECT n AS node, least(n, min(m)) AS component FROM reach
       |GROUP BY n ORDER BY node""".stripMargin))
 
+  // ---- text-verify stage of the flagship, hash-checked by DuckDB ----
+  // The flagship's candidate generation is LSH (spec-pinned); its VERIFY
+  // stage is exact and therefore oracle-able: char-gram Jaccard >= 0.6
+  // (PairVerifier.jaccardLongJvm — the sorted-merge kernel every verified
+  // text pair goes through) and the three-tier containment verify (24-gram
+  // prefilter + exact longest-common-run >= 70). Run here over ALL id pairs
+  // of a capped docClips slice so the oracle is exhaustive; gram hashes use
+  // the portable md5 form so DuckDB reproduces even hash collisions.
+  private val TextPairsCap = 500L
+
+  private def docClipsCapped(spark: org.apache.spark.sql.SparkSession,
+                             dir: String) = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < TextPairsCap)
+    docs.select(concat(lit("doc_"), col("doc_id")).as("clip_id"),
+        col("text").as("transcript"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select(concat(lit("dupa_"), col("doc_id")).as("clip_id"),
+          col("text").as("transcript")))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select(concat(lit("dupb_"), col("doc_id")).as("clip_id"),
+          col("text").as("transcript")))
+  }
+
+  private val CappedClipsCte =
+    s"""clips AS (
+      |  SELECT 'doc_' || doc_id AS clip_id, text AS transcript FROM documents
+      |  WHERE doc_id < $TextPairsCap
+      |  UNION ALL
+      |  SELECT 'dupa_' || doc_id, text FROM documents
+      |  WHERE doc_id % 7 = 0 AND doc_id < $TextPairsCap
+      |  UNION ALL
+      |  SELECT 'dupb_' || doc_id, text FROM documents
+      |  WHERE doc_id % 13 = 0 AND doc_id < $TextPairsCap
+      |)""".stripMargin
+
+  val textPairs = QueryDef(
+    "clip_text_pairs",
+    (spark, dir) => {
+      import graft.functions.TextShingles
+      import graft.operators.{ContainmentJoin, PairVerifier}
+      val cfg = DedupConfig.default
+      val clipsT = docClipsCapped(spark, dir)
+        .select(col("clip_id"), lower(col("transcript")).as("t"))
+        .localCheckpoint(eager = false) // feeds ids + both verify features
+      val ids = clipsT.select("clip_id")
+      val cands = ids.select(col("clip_id").as("a"))
+        .join(ids.select(col("clip_id").as("b")), col("a") < col("b"))
+      val tsh = clipsT.select(col("clip_id"),
+        TextShingles.hashShingles(
+          TextShingles.charShingles(col("t"), cfg.charGramK),
+          portable = true).as("tshingles"))
+      val jacc = PairVerifier.verify(cands, tsh, "clip_id", "tshingles",
+        cfg.textJaccardThreshold, "text_minhash")
+      val w = cfg.containmentMinRun - ContainmentJoin.GramK + 1
+      val txt = clipsT.select(col("clip_id"), col("t"),
+        ContainmentJoin.gramsUdf(col("t")).as("_g"))
+      val contain = cands
+        .join(txt.select(col("clip_id").as("a"), col("t").as("_ta"),
+          col("_g").as("_ga")), "a")
+        .join(txt.select(col("clip_id").as("b"), col("t").as("_tb"),
+          col("_g").as("_gb")), "b")
+        .filter(ContainmentJoin.sharedUdf(col("_ga"), col("_gb")) >= w)
+        .filter(ContainmentJoin.lcrUdf(col("_ta"), col("_tb")) >=
+          cfg.containmentMinRun)
+        .select(col("a"), col("b"), lit(0.9).as("score"),
+          lit("containment").as("method"))
+      jacc.unionByName(contain).orderBy("a", "b", "method")
+    },
+    Some {
+      val cfg = DedupConfig.default
+      val k = cfg.charGramK
+      s"""WITH $CappedClipsCte,
+        |t AS (SELECT clip_id, lower(transcript) AS t FROM clips),
+        |offs AS (SELECT clip_id, t, unnest(range(1, length(t) - ${k - 2})) AS i
+        |         FROM t WHERE length(t) >= $k),
+        |grams AS (SELECT DISTINCT clip_id,
+        |                 ${graft.functions.Hashing.md5Hash31Sql(s"substr(t, CAST(i AS INT), $k)")} AS h
+        |          FROM offs),
+        |cnt AS (SELECT clip_id, count(*) AS n FROM grams GROUP BY clip_id),
+        |inter AS (SELECT x.clip_id AS a, y.clip_id AS b, count(*) AS i
+        |          FROM grams x JOIN grams y ON x.h = y.h AND x.clip_id < y.clip_id
+        |          GROUP BY 1, 2),
+        |jac AS (SELECT a, b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS score,
+        |               'text_minhash' AS method
+        |        FROM inter JOIN cnt ca ON a = ca.clip_id JOIN cnt cb ON b = cb.clip_id
+        |        WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= ${cfg.textJaccardThreshold}),
+        |r70 AS (SELECT clip_id, t, unnest(range(1, length(t) - ${cfg.containmentMinRun - 2})) AS i
+        |        FROM t WHERE length(t) >= ${cfg.containmentMinRun}),
+        |g70 AS (SELECT DISTINCT clip_id,
+        |               substr(t, CAST(i AS INT), ${cfg.containmentMinRun}) AS g
+        |        FROM r70),
+        |cont AS (SELECT DISTINCT x.clip_id AS a, y.clip_id AS b,
+        |                CAST(0.9 AS DOUBLE) AS score, 'containment' AS method
+        |         FROM g70 x JOIN g70 y ON x.g = y.g AND x.clip_id < y.clip_id)
+        |SELECT a, b, score, method FROM jac
+        |UNION ALL
+        |SELECT a, b, score, method FROM cont
+        |ORDER BY a, b, method""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(clusters, dupPairs, signatures, incremental,
-    search, sigHashes, exactEdges, exactClusters)
+    search, sigHashes, exactEdges, exactClusters, textPairs)
 }

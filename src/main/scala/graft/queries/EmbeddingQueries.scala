@@ -205,6 +205,11 @@ object EmbeddingQueries {
   /** The exact-scan vectors relation (vec_id, embedding, n2) for dir. */
   def vectors(spark: SparkSession, dir: String): DataFrame = withNorm(spark, dir)
 
+  /** Attach the cached squared norm to any (vec_id, embedding) relation —
+    * the input shape every search / graph-build entry point expects. */
+  def withN2(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+
   // ---- graph-flavor ANN (the reference's HNSW/Annoy backend slot,
   // fast_bert_similarity.py:24,48,139) ----
   // HNSW's greedy layered descent is inherently sequential per query; the
@@ -215,16 +220,28 @@ object EmbeddingQueries {
   // base layer), exact-scoring only the expanded candidate set. All joins,
   // no iteration — oracle-checkable bit-exactly, and the ef knob trades
   // recall for cost exactly like HNSW's ef_search. At corpus scale the
-  // kNN-graph build composes with the IVF layout (per-bucket local kNN);
-  // here the graph build is the exact form over the capped set.
+  // kNN-graph build composes with the IVF layout — knnGraphBucketed below:
+  // per-bucket local kNN stitched with nprobe >= 2 (EvalSpec grades it at
+  // 100k vectors); knnGraph is the exact form, loudly capped to oracle scale.
   val NswCap = 2000L
   val NswM = 8
   val NswEntryStride = 64
   val NswEf = 4
+  /** Exact-kNN-graph row cap: above this, the O(N²) self-join is a bug, not
+    * a build — callers must hand nswSearch a knnGraphBucketed graph. */
+  val NswExactGraphCap = 20000L
 
   /** Deterministic kNN neighbor graph: each node's M max-cosine neighbors
-    * (cosine desc, id tie-break). */
+    * (cosine desc, id tie-break). EXACT O(N²) self-join — refuses inputs
+    * above NswExactGraphCap so a caller pointing the public nswSearch API at
+    * a 10^8-vector corpus fails loudly instead of scheduling N² work; the
+    * scale path is knnGraphBucketed. */
   def knnGraph(vecs: DataFrame, m: Int): DataFrame = {
+    val n = vecs.count()
+    require(n <= NswExactGraphCap,
+      s"knnGraph is the exact O(N^2) build, capped at $NswExactGraphCap rows " +
+        s"(got $n); build the graph with knnGraphBucketed(vecs, m, centroids) " +
+        "and pass it to nswSearch(..., graph = Some(g))")
     val l = vecs.select(col("vec_id").as("src"), col("embedding").as("se"), col("n2").as("sn"))
     val r = vecs.select(col("vec_id").as("nbr"), col("embedding").as("ne"), col("n2").as("nn"))
     l.join(r, col("src") =!= col("nbr"))
@@ -236,10 +253,49 @@ object EmbeddingQueries {
       .select("src", "nbr")
   }
 
-  /** Navigable-graph top-k search (see block comment above). */
+  /**
+   * Distributed kNN-graph build — the per-IVF-bucket composition of the
+   * exact form (HNSW's ef_construction analog re-expressed as equi-joins):
+   * every vector lands in its nearest centroid's bucket; each SOURCE vector
+   * additionally probes its `nprobe` nearest buckets so near-boundary nodes
+   * see neighbors across the seam; neighbors rank per source within the
+   * probed buckets only. Work is Σ_b |sources_b|·|bucket_b| ≈ N²·nprobe/K —
+   * with K ~ √N centroids that is ~N^1.5 of shuffled equi-join work and no
+   * stage ever materializes an O(N²) relation. The assignment window carries
+   * only (vec_id, cid, ccos); embeddings join back after the top-nprobe cut,
+   * keeping the widest shuffle at N·nprobe rows.
+   */
+  def knnGraphBucketed(vecs: DataFrame, m: Int, cents: DataFrame,
+                       nprobe: Int = 2): DataFrame = {
+    val assign = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosine(col("embedding"), col("n2"), col("ce"), col("cn")).as("ccos"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("crk") <= nprobe)
+      .select("vec_id", "cid", "crk")
+    val srcs = assign.join(vecs, "vec_id")
+      .select(col("vec_id").as("src"), col("embedding").as("se"),
+        col("n2").as("sn"), col("cid"))
+    val members = assign.filter(col("crk") === 1).join(vecs, "vec_id")
+      .select(col("vec_id").as("nbr"), col("embedding").as("ne"),
+        col("n2").as("nn"), col("cid"))
+    srcs.join(members, Seq("cid"))
+      .filter(col("src") =!= col("nbr"))
+      .select(col("src"), col("nbr"),
+        cosine(col("se"), col("sn"), col("ne"), col("nn")).as("c"))
+      .dropDuplicates("src", "nbr") // a pair can meet in up to nprobe buckets
+      .withColumn("nrk", row_number().over(
+        Window.partitionBy("src").orderBy(col("c").desc, col("nbr"))))
+      .filter(col("nrk") <= m)
+      .select("src", "nbr")
+  }
+
+  /** Navigable-graph top-k search (see block comment above). Pass a
+    * knnGraphBucketed graph for corpora beyond NswExactGraphCap. */
   def nswSearch(vecs: DataFrame, queryStride: Int, m: Int, entryStride: Int,
-                ef: Int, topK: Int): DataFrame = {
-    val g = knnGraph(vecs, m)
+                ef: Int, topK: Int, graph: Option[DataFrame] = None): DataFrame = {
+    val g = graph.getOrElse(knnGraph(vecs, m))
     val entries = vecs.filter(col("vec_id") % entryStride === 0)
       .select(col("vec_id").as("eid"), col("embedding").as("ee"), col("n2").as("en"))
     val q = vecs.filter(col("vec_id") % queryStride === 0)
@@ -270,6 +326,103 @@ object EmbeddingQueries {
       .filter(col("rk") <= topK)
       .select(col("qid"), col("vid"), col("rk").cast("long").as("rk"), col("cos"))
   }
+
+  // ---- tree-flavor ANN (the reference's Annoy backend slot,
+  // fast_bert_similarity.py:24: AnnoyIndex n_trees=256 angular) ----
+  // Annoy partitions by random hyperplanes between point pairs; the Spark
+  // re-expression is sign-code bucketing: each of T trees carries D
+  // deterministic hyperplanes (normal = difference of an embedding pair), a
+  // vector's leaf code per tree is its D-bit sign pattern, and a query
+  // searches exactly its own leaf in every tree — candidate generation is a
+  // (tree, code) equi-join, the same shuffle shape as IVF, so the plan
+  // scales to any corpus (leaf population ~ N/2^D per tree; more trees =
+  // more recall, exactly Annoy's n_trees knob). Exact-scored, top-k.
+  val AnnTrees = 2
+  val AnnPlanesPerTree = 4
+  val AnnPlaneBase = 32 // plane-pair vectors: vec_id in [32, 48)
+
+  private def dotDiff(a: Column, p1: Column, p2: Column): Column =
+    aggregate(zip_with(a, zip_with(p1, p2,
+      (x, y) => x.cast("double") - y.cast("double")),
+      (x, d) => x.cast("double") * d), lit(0.0), (acc, x) => acc + x)
+  private def dotDiffSql(a: String, p1: String, p2: String): String =
+    (1 to Dim).map(i =>
+      s"CAST($a[$i] AS DOUBLE) * (CAST($p1[$i] AS DOUBLE) - CAST($p2[$i] AS DOUBLE))")
+      .mkString("(", " + ", ")")
+
+  val annTree = QueryDef(
+    "q_ann_tree",
+    (spark, dir) => {
+      val vecs = withNorm(spark, dir)
+      val nPl = AnnTrees * AnnPlanesPerTree
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val p1 = e.filter(col("vec_id") >= AnnPlaneBase &&
+          col("vec_id") < AnnPlaneBase + 2 * nPl &&
+          pmod(col("vec_id") - AnnPlaneBase, lit(2)) === 0)
+        .select(((col("vec_id") - AnnPlaneBase) / 2).cast("int").as("pid"),
+          col("embedding").as("pe1"))
+      val p2 = e.filter(col("vec_id") >= AnnPlaneBase + 1 &&
+          col("vec_id") < AnnPlaneBase + 2 * nPl &&
+          pmod(col("vec_id") - AnnPlaneBase, lit(2)) === 1)
+        .select(((col("vec_id") - AnnPlaneBase - 1) / 2).cast("int").as("pid"),
+          col("embedding").as("pe2"))
+      val planes = p1.join(p2, "pid")
+        .select(col("pid"), (col("pid") / AnnPlanesPerTree).cast("int").as("tree"),
+          pmod(col("pid"), lit(AnnPlanesPerTree)).cast("int").as("plane"),
+          col("pe1"), col("pe2"))
+      val bits = vecs.crossJoin(broadcast(planes))
+        .select(col("vec_id"), col("tree"),
+          when(dotDiff(col("embedding"), col("pe1"), col("pe2")) >= 0,
+            expr("shiftleft(1, plane)")).otherwise(lit(0)).as("bitv"))
+      val codes = bits.groupBy("vec_id", "tree").agg(sum("bitv").as("code"))
+      val q = codes.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("qid"), col("tree"), col("code"))
+      val cand = q.join(codes.select(col("vec_id").as("vid"), col("tree"), col("code")),
+          Seq("tree", "code"))
+        .filter(col("qid") =!= col("vid"))
+        .select("qid", "vid").distinct()
+      val qv = vecs.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn"))
+      val t = vecs.select(col("vec_id").as("vid"), col("embedding").as("te"), col("n2").as("tn"))
+      cand.join(qv, "qid").join(t, "vid")
+        .select(col("qid"), col("vid"),
+          cosine(col("qe"), col("qn"), col("te"), col("tn")).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("vid"), col("rk").cast("long").as("rk"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+    Some {
+      val hi = AnnPlaneBase + 2 * AnnTrees * AnnPlanesPerTree
+      s"""WITH v AS (SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings),
+        |p1 AS (SELECT CAST((vec_id - $AnnPlaneBase) // 2 AS INT) AS pid, embedding AS pe1
+        |       FROM embeddings
+        |       WHERE vec_id >= $AnnPlaneBase AND vec_id < $hi AND (vec_id - $AnnPlaneBase) % 2 = 0),
+        |p2 AS (SELECT CAST((vec_id - ${AnnPlaneBase + 1}) // 2 AS INT) AS pid, embedding AS pe2
+        |       FROM embeddings
+        |       WHERE vec_id >= ${AnnPlaneBase + 1} AND vec_id < $hi AND (vec_id - $AnnPlaneBase) % 2 = 1),
+        |pl AS (SELECT pid, pid // $AnnPlanesPerTree AS tree, pid % $AnnPlanesPerTree AS plane,
+        |              pe1, pe2
+        |       FROM p1 JOIN p2 USING (pid)),
+        |bits AS (SELECT v.vec_id, tree,
+        |                CASE WHEN ${dotDiffSql("v.embedding", "pe1", "pe2")} >= 0
+        |                     THEN (1 << plane) ELSE 0 END AS bitv
+        |         FROM v CROSS JOIN pl),
+        |codes AS (SELECT vec_id, tree, sum(bitv) AS code FROM bits GROUP BY 1, 2),
+        |q AS (SELECT vec_id AS qid, tree, code FROM codes WHERE vec_id % $QueryStride = 0),
+        |cand AS (SELECT DISTINCT qid, c.vec_id AS vid
+        |         FROM q JOIN codes c USING (tree, code) WHERE qid != c.vec_id),
+        |scored AS (
+        |  SELECT qid, vid, ${cosineSql("qv.embedding", "qv.n2", "tv.embedding", "tv.n2")} AS cos
+        |  FROM cand JOIN v qv ON qid = qv.vec_id JOIN v tv ON vid = tv.vec_id
+        |), ranked AS (
+        |  SELECT qid, vid, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+        |  FROM scored
+        |)
+        |SELECT qid, vid, rk, cos FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+    })
 
   val annNsw = QueryDef(
     "q_ann_nsw",
@@ -321,5 +474,5 @@ object EmbeddingQueries {
         |SELECT qid, vid, rk, cos FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
     })
 
-  val all: Seq[QueryDef] = Seq(embeddingNorms, cosineTopk, annIvf, annNsw)
+  val all: Seq[QueryDef] = Seq(embeddingNorms, cosineTopk, annIvf, annNsw, annTree)
 }

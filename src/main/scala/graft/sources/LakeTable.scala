@@ -99,17 +99,33 @@ final class LakeTable(val root: String, val name: String,
     if (dirs.isEmpty) read(spark, v).limit(0) else spark.read.parquet(dirs: _*)
   }
 
-  private def writeBuckets(df: DataFrame, v: Int): Path = {
+  private def writeBuckets(df: DataFrame, v: Int,
+                           numTasks: Option[Int] = None): Path = {
     val out = dataPath(v)
     // hash-distribute by the bucket column before the partitioned write
     // (Iceberg's `write.distribution-mode=hash`): each bucket lands wholly
-    // in one task → exactly one file per non-empty bucket. Without it every
-    // input partition writes its own fragment into every bucket dir, and
-    // bucket-pruned reads pay (input partitions × buckets) file opens —
-    // measured as the dominant blocked-thread cost of small merges.
-    df.withColumn("_bucket", bucketOf)
-      .repartition(numBuckets, col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(out.toString)
+    // in one task → exactly one file per non-empty bucket (assumes the
+    // default spark.sql.files.maxRecordsPerFile=0 — rollover would split a
+    // bucket's file). Without it every input partition writes its own
+    // fragment into every bucket dir, and bucket-pruned reads pay (input
+    // partitions × buckets) file opens — measured as the dominant
+    // blocked-thread cost of small merges.
+    //
+    // Task count is a parallelism knob, never a correctness one: hash
+    // partitioning on _bucket keeps every bucket whole in one task at ANY
+    // partition count. Full commits spread buckets over the session's
+    // spark.sql.shuffle.partitions (sized to the cluster by the operator);
+    // delta commits pass an explicit cap so a small merge against a sized
+    // store (DedupStore.sized → 2^18 buckets at 10^12 rows) schedules
+    // O(touched-buckets) write tasks, not numBuckets near-empty ones —
+    // pinning the shuffle to numBuckets made per-commit driver scheduling
+    // O(B) regardless of delta size.
+    val bucketed = df.withColumn("_bucket", bucketOf)
+    val parted = numTasks match {
+      case Some(n) => bucketed.repartition(n, col("_bucket"))
+      case None    => bucketed.repartition(col("_bucket"))
+    }
+    parted.write.mode("overwrite").partitionBy("_bucket").parquet(out.toString)
     out
   }
 
@@ -165,8 +181,10 @@ final class LakeTable(val root: String, val name: String,
       return publish(prev + 1, operation, metrics, bucketMap(prev))
     }
     val v = prev + 1
+    // O(touched) write tasks: a 3-bucket delta schedules 3, never numBuckets
     val out = writeBuckets(
-      touchedRows.filter(bucketOf.isin(touchedBuckets.toSeq: _*)), v)
+      touchedRows.filter(bucketOf.isin(touchedBuckets.toSeq: _*)), v,
+      numTasks = Some(math.min(numBuckets, math.max(1, touchedBuckets.size))))
     writeSchema(v, touchedRows.schema)
     val prevMap = bucketMap(prev)
     val newMap = (prevMap.keySet ++ touchedBuckets).flatMap { b =>

@@ -218,17 +218,69 @@ class IncrementalSpec extends SparkSpec {
       s"merge wrote $v1Bytes bytes vs $v0Bytes full — not O(delta)")
   }
 
+  /** Parquet files directly under `dir` (stream closed — Files.list leaks an
+    * fd per call otherwise). The == 1 assertions below also assume the
+    * default spark.sql.files.maxRecordsPerFile=0: file rollover would split
+    * a bucket's single file. */
+  private def parquetFiles(dir: String): Int = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    } finally s.close()
+  }
+
   test("bucket writes are hash-distributed: one parquet file per bucket") {
     // writeBuckets repartitions by the bucket column before the partitioned
     // write, so each bucket lands wholly in one task — bucket-pruned reads
     // pay ONE file open per bucket, not (writer partitions x buckets)
     val store = freshStore()
     IncrementalDedup.initialize(spark, clipsRange(0, 200), cfg, store)
-    import scala.jdk.CollectionConverters._
     store.signatures.bucketMap(0).values.toSeq.distinct.foreach { dir =>
-      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-        .iterator().asScala
-        .count(_.getFileName.toString.endsWith(".parquet"))
+      val files = parquetFiles(dir)
+      assert(files == 1, s"$dir has $files parquet files, expected exactly 1")
+    }
+  }
+
+  test("commitDelta schedules O(touched) write tasks at a 2^14-bucket store") {
+    // the sized-store design point (DedupStore.sized at 10^12 rows → 2^18
+    // buckets, ~4M rows each) must not pay per-commit driver scheduling
+    // O(numBuckets): pinning the write shuffle to numBuckets partitions made
+    // a 3-bucket delta schedule 16384 near-empty tasks here (~260k at 2^18,
+    // ×8 store tables per merge). Post-fix the whole commitDelta — pruned
+    // read + delta compute + capped write shuffle — runs O(touched) tasks.
+    val root = java.nio.file.Files.createTempDirectory("graft-16k").toString
+    val t = new graft.sources.LakeTable(root, "t", "clip_id", 16384)
+    t.commit(clipsRange(0, 200).select("clip_id", "transcript"), "create")
+    val delta = clipsRange(200, 203).select("clip_id", "transcript")
+    val touched = delta.select(t.bucketOf.cast("int").as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val content = t.readBuckets(spark, touched).unionByName(delta)
+    val tasks = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.commitDelta(content, touched, "merge")
+      // the listener bus is async — wait until the task count goes quiet
+      var prev = -1L; var quiet = 0
+      while (quiet < 3) {
+        Thread.sleep(200)
+        val cur = tasks.get()
+        if (cur == prev) quiet += 1 else { quiet = 0; prev = cur }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(tasks.get() < 500,
+      s"commitDelta ran ${tasks.get()} tasks at 16384 buckets — " +
+        "scheduling is O(numBuckets), not O(touched)")
+    assert(t.read(spark).count() == 203)
+    // the capped task count keeps every bucket whole: still one file each
+    t.bucketMap(1).filter(kv => touched.contains(kv._1)).values.foreach { dir =>
+      val files = parquetFiles(dir)
       assert(files == 1, s"$dir has $files parquet files, expected exactly 1")
     }
   }

@@ -106,6 +106,42 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("prefix-contained short probe gets the same verdict from search and merge") {
+    // pcmCorrJvm truncates to the shorter signal, so a 70%-length prefix of a
+    // stored clip correlates ~1.0 and its shingle jaccard (~0.7) clears the
+    // 0.35 audio verify floor — only the length-ratio >= 0.9 geometry gate
+    // rejects it. Search used to omit that gate: the same pair was accepted
+    // by search but rejected by merge. Both paths must agree.
+    val s = new DedupStore(
+      java.nio.file.Files.createTempDirectory("graft-prefix").toString)
+    val conf = cc
+    val clips = spark.range(0, 50, 1, 4)
+      .mapPartitions(_.map(i => ClipCorpus.genClip(conf, i))).toDF()
+    IncrementalDedup.initialize(spark, clips, cfg, s)
+    val orig = ClipCorpus.genClip(cc, 0L)
+    // sample-aligned prefix at 70% (even byte count keeps int16 framing);
+    // empty transcript so only the audio path can fire
+    val prefixBytes = orig.bytes.take((orig.bytes.length * 7 / 10) / 2 * 2)
+    // search side FIRST (against the pristine store — after the merge below
+    // the probe would exact-match its own merged copy, correctly): the
+    // prefix as a probe must retrieve nothing — its only would-be match is
+    // the full-length source, rejected by the geometry gate
+    val probe = Seq(Clip("probe_prefix", prefixBytes, orig.sr_hz,
+      orig.dur_ms * 7 / 10, orig.codec, "")).toDF()
+    val found = ClipSearch.search(spark, probe, s, cfg, k = 5).collect()
+    // merge side: the same content as a new clip must NOT pair with its source
+    IncrementalDedup.merge(spark,
+      Seq(Clip("clip_zprefix", prefixBytes, orig.sr_hz,
+        orig.dur_ms * 7 / 10, orig.codec, "")).toDF(), cfg, s)
+    val mergedPairs = s.dupPairs.read(spark)
+      .filter(col("a") === "clip_zprefix" || col("b") === "clip_zprefix")
+      .collect()
+    assert(mergedPairs.isEmpty,
+      s"merge linked the prefix clip: ${mergedPairs.take(3).mkString(", ")}")
+    assert(found.isEmpty,
+      s"search accepted what merge rejected: ${found.take(3).mkString(", ")}")
+  }
+
   test("tombstoned entries are excluded unless includeDeleted (v3 semantics)") {
     val victim = "clip_00000000"
     IncrementalDedup.merge(spark, Seq.empty[Clip].toDF(), cfg, store,
