@@ -350,49 +350,58 @@ object EmbeddingQueries {
       s"CAST($a[$i] AS DOUBLE) * (CAST($p1[$i] AS DOUBLE) - CAST($p2[$i] AS DOUBLE))")
       .mkString("(", " + ", ")")
 
+  /** Tree-ANN top-k over any (vec_id, embedding, n2) relation — the body of
+    * `q_ann_tree`, factored so EvalSpec can grade recall vs n_trees at
+    * corpus scale. Hyperplanes are drawn deterministically from the corpus
+    * itself: plane i's normal is the difference of the embedding pair at
+    * vec_ids (planeBase + 2i, planeBase + 2i + 1). Candidates = (tree, code)
+    * equi-join; everything downstream is exact-scored. */
+  def treeSearch(vecs: DataFrame, nTrees: Int, planesPerTree: Int,
+                 planeBase: Long, queryStride: Int, topK: Int): DataFrame = {
+    val nPl = nTrees * planesPerTree
+    val e = vecs.select(col("vec_id"), col("embedding"))
+    val p1 = e.filter(col("vec_id") >= planeBase &&
+        col("vec_id") < planeBase + 2 * nPl &&
+        pmod(col("vec_id") - planeBase, lit(2)) === 0)
+      .select(((col("vec_id") - planeBase) / 2).cast("int").as("pid"),
+        col("embedding").as("pe1"))
+    val p2 = e.filter(col("vec_id") >= planeBase + 1 &&
+        col("vec_id") < planeBase + 2 * nPl &&
+        pmod(col("vec_id") - planeBase, lit(2)) === 1)
+      .select(((col("vec_id") - planeBase - 1) / 2).cast("int").as("pid"),
+        col("embedding").as("pe2"))
+    val planes = p1.join(p2, "pid")
+      .select(col("pid"), (col("pid") / planesPerTree).cast("int").as("tree"),
+        pmod(col("pid"), lit(planesPerTree)).cast("int").as("plane"),
+        col("pe1"), col("pe2"))
+    val bits = vecs.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("tree"),
+        when(dotDiff(col("embedding"), col("pe1"), col("pe2")) >= 0,
+          expr("shiftleft(1, plane)")).otherwise(lit(0)).as("bitv"))
+    val codes = bits.groupBy("vec_id", "tree").agg(sum("bitv").as("code"))
+    val q = codes.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("qid"), col("tree"), col("code"))
+    val cand = q.join(codes.select(col("vec_id").as("vid"), col("tree"), col("code")),
+        Seq("tree", "code"))
+      .filter(col("qid") =!= col("vid"))
+      .select("qid", "vid").distinct()
+    val qv = vecs.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn"))
+    val t = vecs.select(col("vec_id").as("vid"), col("embedding").as("te"), col("n2").as("tn"))
+    cand.join(qv, "qid").join(t, "vid")
+      .select(col("qid"), col("vid"),
+        cosine(col("qe"), col("qn"), col("te"), col("tn")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
+      .filter(col("rk") <= topK)
+      .select(col("qid"), col("vid"), col("rk").cast("long").as("rk"), col("cos"))
+      .orderBy("qid", "rk")
+  }
+
   val annTree = QueryDef(
     "q_ann_tree",
-    (spark, dir) => {
-      val vecs = withNorm(spark, dir)
-      val nPl = AnnTrees * AnnPlanesPerTree
-      val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-      val p1 = e.filter(col("vec_id") >= AnnPlaneBase &&
-          col("vec_id") < AnnPlaneBase + 2 * nPl &&
-          pmod(col("vec_id") - AnnPlaneBase, lit(2)) === 0)
-        .select(((col("vec_id") - AnnPlaneBase) / 2).cast("int").as("pid"),
-          col("embedding").as("pe1"))
-      val p2 = e.filter(col("vec_id") >= AnnPlaneBase + 1 &&
-          col("vec_id") < AnnPlaneBase + 2 * nPl &&
-          pmod(col("vec_id") - AnnPlaneBase, lit(2)) === 1)
-        .select(((col("vec_id") - AnnPlaneBase - 1) / 2).cast("int").as("pid"),
-          col("embedding").as("pe2"))
-      val planes = p1.join(p2, "pid")
-        .select(col("pid"), (col("pid") / AnnPlanesPerTree).cast("int").as("tree"),
-          pmod(col("pid"), lit(AnnPlanesPerTree)).cast("int").as("plane"),
-          col("pe1"), col("pe2"))
-      val bits = vecs.crossJoin(broadcast(planes))
-        .select(col("vec_id"), col("tree"),
-          when(dotDiff(col("embedding"), col("pe1"), col("pe2")) >= 0,
-            expr("shiftleft(1, plane)")).otherwise(lit(0)).as("bitv"))
-      val codes = bits.groupBy("vec_id", "tree").agg(sum("bitv").as("code"))
-      val q = codes.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("qid"), col("tree"), col("code"))
-      val cand = q.join(codes.select(col("vec_id").as("vid"), col("tree"), col("code")),
-          Seq("tree", "code"))
-        .filter(col("qid") =!= col("vid"))
-        .select("qid", "vid").distinct()
-      val qv = vecs.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("n2").as("qn"))
-      val t = vecs.select(col("vec_id").as("vid"), col("embedding").as("te"), col("n2").as("tn"))
-      cand.join(qv, "qid").join(t, "vid")
-        .select(col("qid"), col("vid"),
-          cosine(col("qe"), col("qn"), col("te"), col("tn")).as("cos"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
-        .filter(col("rk") <= TopK)
-        .select(col("qid"), col("vid"), col("rk").cast("long").as("rk"), col("cos"))
-        .orderBy("qid", "rk")
-    },
+    (spark, dir) => treeSearch(withNorm(spark, dir), AnnTrees, AnnPlanesPerTree,
+      AnnPlaneBase, QueryStride, TopK),
     Some {
       val hi = AnnPlaneBase + 2 * AnnTrees * AnnPlanesPerTree
       s"""WITH v AS (SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings),

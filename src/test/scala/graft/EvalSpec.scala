@@ -159,4 +159,44 @@ class EvalSpec extends SparkSpec {
     assert(r16 >= 0.3, s"bucketed-graph NSW recall too low at ef=16: $r16")
     vecs.unpersist(); g.unpersist(); qrels.unpersist()
   }
+
+  test("tree ANN recall@k rises with n_trees at 100k vectors (Annoy's knob)") {
+    import EmbeddingQueries._
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val n = 100000L
+    val dim = 8
+    val raw = spark.range(0, n, 1, 64).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (pmod(xxhash64(col("id"), d), lit(100000L)).cast("double") / 50000.0
+          - 1.0).cast("float")).as("embedding"))
+    val vecs = EmbeddingQueries.withN2(raw).persist(MEMORY_AND_DISK)
+    vecs.count()
+    // exact ground truth, as in the NSW scale test: one-centroid IVF IS the
+    // brute-force scan over the strided queries
+    val stride = 1000
+    val one = vecs.limit(1).select(lit(0).as("cid"),
+      col("embedding").as("ce"), col("n2").as("cn"))
+    val qrels = ivfSearch(vecs, one, stride, K, nprobe = 1)
+      .select(col("qid"), col("vid").as("doc_id"), lit(1).as("rel"))
+      .persist(MEMORY_AND_DISK)
+    qrels.count()
+    val planes = 5 // leaf population ~ n / 2^5 per tree
+    def recallAt(trees: Int): Double = {
+      val run = treeSearch(vecs, trees, planes, planeBase = 1L, stride, K)
+        .select(col("qid"), col("vid").as("doc_id"), col("rk").as("rank"))
+      meanOf(RetrievalEval.evaluate(run, qrels, K), "recall")
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    val r16 = recallAt(16)
+    info(s"tree-ANN recall@$K over ${n / 1000}k vecs: " +
+      s"trees=1 $r1, trees=4 $r4, trees=16 $r16")
+    // tree t's planes are a prefix of tree t+1's plane table, so candidate
+    // sets are nested supersets and recall is monotone by construction; the
+    // floor checks the sign-code buckets actually concentrate near neighbors
+    assert(r4 >= r1 && r16 >= r4, s"recall fell with trees: $r1 -> $r4 -> $r16")
+    assert(r16 >= r1 + 0.05, s"n_trees knob is flat: $r1 -> $r16")
+    assert(r16 >= 0.3, s"tree-ANN recall too low at 16 trees: $r16")
+    vecs.unpersist(); qrels.unpersist()
+  }
 }
