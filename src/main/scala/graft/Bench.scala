@@ -26,7 +26,7 @@ object Bench {
   // xxhash64 path does the same work inside clip_dedup_clusters).
   private val headline = Seq(
     "q_containment_fp", "q_simhash", "q_bm25", "q_cosine_topk",
-    "q_ann_ivf", "q_event_sessions")
+    "q_ann_ivf", "q_ann_nsw", "q_ann_tree", "q_event_sessions")
 
   private def session(cores: Int): SparkSession =
     SparkUtil.session(cores, s"graft-bench-$cores")

@@ -237,9 +237,20 @@ object Profile {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       delta.count()
       val tasks = new java.util.concurrent.atomic.AtomicLong(0)
+      // per-stage attribution: which call sites own the tasks (the O(delta)
+      // claim fails exactly where a stage's task count tracks B instead)
+      final case class St(site: String, nt: Int, wall: Long)
+      val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, St]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           tasks.incrementAndGet(): Unit
+        }
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(0L)
+          val site = si.details.split("\n").find(l =>
+            l.contains("graft.") && !l.contains("Profile")).getOrElse(si.name.split("\n")(0)).trim.take(90)
+          stageInfo.put(si.stageId, St(site, si.numTasks, wall))
         }
       })
       val tables = Seq("clips", "signatures", "dup_pairs", "clusters",
@@ -252,8 +263,19 @@ object Profile {
           IncrementalDedup.initialize(spark, clips, cfg, store))
         purge()
         tasks.set(0)
+        stageInfo.clear()
         time(s"merge-$dn-B$b")(IncrementalDedup.merge(spark, delta, cfg, store))
         Thread.sleep(1000) // listener bus drain
+        locally {
+          import scala.jdk.CollectionConverters._
+          // group stages by call site; a site whose task sum scales with B
+          // is the remaining O(B) path
+          stageInfo.asScala.values.groupBy(_.site).toSeq
+            .map { case (site, ss) => (site, ss.map(_.nt).sum, ss.size, ss.map(_.wall).sum) }
+            .sortBy(-_._2).take(12).foreach { case (site, nt, ns, w) =>
+              println(f"[profile]   B=$b%-5d tasks=$nt%-6d stages=$ns%-3d wall-sum=${w / 1000.0}%7.2f s  $site")
+            }
+        }
         val v0 = tables.map(t => dirBytes(
           java.nio.file.Paths.get(root.getAbsolutePath, t, "data/v0"))).sum
         val v1 = tables.map(t => dirBytes(

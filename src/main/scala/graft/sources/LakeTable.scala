@@ -96,7 +96,13 @@ final class LakeTable(val root: String, val name: String,
     require(v >= 0, s"table $name has no committed snapshot")
     val dirs = bucketMap(v).filter(kv => buckets.contains(kv._1))
       .values.toSeq.distinct.sorted
-    if (dirs.isEmpty) read(spark, v).limit(0) else spark.read.parquet(dirs: _*)
+    // Empty selection -> schema-based empty frame, NEVER read(spark).limit(0):
+    // spark.read.parquet EAGERLY lists its paths, and above the
+    // parallelPartitionDiscovery threshold (32) that listing is a Spark job
+    // with one task per bucket dir — a full-table O(B) listing (measured:
+    // 2 x 4096 tasks, 10.5 s of a 37 s merge at B=4096) for a call that
+    // returns zero rows by construction.
+    if (dirs.isEmpty) emptyDf(spark, v) else spark.read.parquet(dirs: _*)
   }
 
   private def writeBuckets(df: DataFrame, v: Int,

@@ -285,6 +285,35 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("empty-set readBuckets launches zero jobs at a large-bucket store") {
+    // regression: the empty-selection fallback used to build read(spark)
+    // .limit(0), and spark.read.parquet EAGERLY lists its paths — above the
+    // parallelPartitionDiscovery threshold (32 paths) that is a Spark job
+    // with one task per bucket dir, i.e. a full O(B) listing (measured 2x4096
+    // tasks, 10.5 s of a 37 s merge at B=4096) for a zero-row frame. The
+    // snapshot's recorded schema answers without touching data at all.
+    val root = java.nio.file.Files.createTempDirectory("graft-empty-read").toString
+    val t = new graft.sources.LakeTable(root, "t", "clip_id", 4096)
+    t.commit(clipsRange(0, 50).select("clip_id", "transcript"), "create")
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val df = try {
+      val df = t.readBuckets(spark, Set.empty)
+      Thread.sleep(500) // async listener bus; zero expected, so a beat is enough
+      df
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      s"empty readBuckets ran ${jobs.get()} jobs — the O(B) listing is back")
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("clip_id", "transcript"))
+  }
+
   test("O(delta) commit bytes hold at 1024 buckets where 32 would rewrite everything") {
     // a 100-row delta hashes into ~96 of 32 buckets (full rewrite) but only
     // <=100 of 1024 — bucket count sized to the table is what keeps merge
