@@ -38,9 +38,29 @@ object ContainmentJoin {
   // fingerprint) holds for any k <= minRun, property-tested in OperatorSpec.
   val GramK = 24
 
-  /** (id, fp) distinct winnowing fingerprints per document. */
+  /** (id, fp) distinct winnowing fingerprints per document.
+    *
+    * The portable (md5-60) form runs the row-local kernel below: the
+    * declarative explode+window plan shuffles and sorts one row PER CHARACTER
+    * of every document through two window functions — measured as nearly all
+    * of q_containment_fp's 5.8 s at sf0.1 — where the kernel is one deque
+    * pass per row with NO shuffle. Output equality with the declarative plan
+    * (and therefore with the DuckDB oracle text, which mirrors it) is pinned
+    * by OperatorSpec's kernel==plan parity test incl. non-BMP code points. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    minRun: Int, portable: Boolean = false): DataFrame = {
+    require(minRun - GramK + 1 >= 1, s"minRun must be >= $GramK")
+    if (portable)
+      df.select(col(idCol),
+        explode(portableFingerprintsUdf(minRun)(col(textCol))).as("fp"))
+    else fingerprintsDeclarative(df, idCol, textCol, minRun, portable = false)
+  }
+
+  /** The declarative explode+window plan (kept as the parity-test reference
+    * and the shape the oracle SQL mirrors; see `fingerprints`). */
+  private[graft] def fingerprintsDeclarative(
+      df: DataFrame, idCol: String, textCol: String,
+      minRun: Int, portable: Boolean): DataFrame = {
     val w = minRun - GramK + 1
     require(w >= 1, s"minRun must be >= $GramK")
     val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
@@ -60,6 +80,37 @@ object ContainmentJoin {
       .filter(col("off") <= col("nGrams") - w)
       .select(col(idCol), col("fp")).distinct()
   }
+
+  /** Portable winnowing kernel — bit-identical to the declarative plan:
+    * length/gram positions count CODE POINTS (Spark `substr`/`length` and
+    * DuckDB `substr` both do), gram hash = first 60 bits of md5(utf8(gram)),
+    * minima of FULL w-windows only, per-doc distinct output. */
+  def portableFingerprintsJvm(text: String, minRun: Int): Array[Long] = {
+    val k = GramK
+    val w = minRun - k + 1
+    if (text == null) return Array.empty
+    val cps = text.codePoints().toArray
+    val n = cps.length - k + 1
+    if (cps.length < minRun) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val gh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      // digest() resets the instance; one md5 per gram, no per-gram getInstance
+      val d = md.digest(new String(cps, i, k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      gh(i) = (v << 4) | ((d(7) & 0xf0L) >> 4)
+      i += 1
+    }
+    slidingMinDistinct(gh, n, w)
+  }
+
+  /** Column UDF form of portableFingerprintsJvm (array<long> per row). */
+  def portableFingerprintsUdf(minRun: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => portableFingerprintsJvm(t, minRun))
 
   /**
    * Row-local winnowing fingerprints — the fast path: identical semantics to
@@ -91,14 +142,18 @@ object ContainmentJoin {
       gh(i) = mix64(h)
       i += 1
     }
-    // sliding-window minimum over windows of w grams (monotonic deque of
-    // idx); primitive buffer + sort-dedup, not a boxing HashSet
+    slidingMinDistinct(gh, n, w)
+  }
+
+  /** Sorted-distinct minima of every full w-window of gh[0..n) — monotonic
+    * deque (O(n)), primitive buffer + sort-dedup, not a boxing HashSet. */
+  private def slidingMinDistinct(gh: Array[Long], n: Int, w: Int): Array[Long] = {
     val nWin = n - w + 1
     val buf = new Array[Long](math.max(0, nWin))
     var nOut = 0
     val deque = new Array[Int](n)
     var head = 0; var tail = 0 // [head, tail)
-    i = 0
+    var i = 0
     while (i < n) {
       while (tail > head && gh(deque(tail - 1)) >= gh(i)) tail -= 1
       deque(tail) = i; tail += 1

@@ -242,7 +242,17 @@ object EmbeddingQueries {
       s"knnGraph is the exact O(N^2) build, capped at $NswExactGraphCap rows " +
         s"(got $n); build the graph with knnGraphBucketed(vecs, m, centroids) " +
         "and pass it to nswSearch(..., graph = Some(g))")
-    val l = vecs.select(col("vec_id").as("src"), col("embedding").as("se"), col("n2").as("sn"))
+    // The non-equi self-join is a broadcast nested loop whose parallelism is
+    // the LEFT side's partition count — a small filtered parquet read is one
+    // partition, which serializes the O(N²) cosine work onto one core
+    // (measured: 22 s single-threaded vs sub-second spread). Hash-spread the
+    // probe side first with an EXPLICIT count: the rows are only ~KBs, so
+    // size-based AQE coalescing would fold a countless repartition straight
+    // back to one partition, blind to the N-per-row join work behind it.
+    // Results are unaffected (ranking is value-ordered).
+    val l = vecs
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("src"), col("embedding").as("se"), col("n2").as("sn"))
     val r = vecs.select(col("vec_id").as("nbr"), col("embedding").as("ne"), col("n2").as("nn"))
     l.join(r, col("src") =!= col("nbr"))
       .select(col("src"), col("nbr"),
@@ -274,6 +284,8 @@ object EmbeddingQueries {
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
       .filter(col("crk") <= nprobe)
       .select("vec_id", "cid", "crk")
+      // feeds both the source and member sides: assign once, not twice
+      .localCheckpoint(eager = false)
     val srcs = assign.join(vecs, "vec_id")
       .select(col("vec_id").as("src"), col("embedding").as("se"),
         col("n2").as("sn"), col("cid"))
@@ -295,7 +307,10 @@ object EmbeddingQueries {
     * knnGraphBucketed graph for corpora beyond NswExactGraphCap. */
   def nswSearch(vecs: DataFrame, queryStride: Int, m: Int, entryStride: Int,
                 ef: Int, topK: Int, graph: Option[DataFrame] = None): DataFrame = {
-    val g = graph.getOrElse(knnGraph(vecs, m))
+    // the graph feeds BOTH hop joins and the beam feeds hop-1 AND the
+    // candidate union — lazy-checkpoint each so the (expensive) build runs
+    // once, not once per downstream reference
+    val g = graph.getOrElse(knnGraph(vecs, m)).localCheckpoint(eager = false)
     val entries = vecs.filter(col("vec_id") % entryStride === 0)
       .select(col("vec_id").as("eid"), col("embedding").as("ee"), col("n2").as("en"))
     val q = vecs.filter(col("vec_id") % queryStride === 0)
@@ -307,6 +322,7 @@ object EmbeddingQueries {
         Window.partitionBy("qid").orderBy(col("ec").desc, col("eid"))))
       .filter(col("erk") <= ef)
       .select("qid", "eid")
+      .localCheckpoint(eager = false)
     val h1 = qe.join(g.withColumnRenamed("src", "eid"), "eid")
       .select(col("qid"), col("nbr"))
     val h2 = h1.withColumnRenamed("nbr", "mid")

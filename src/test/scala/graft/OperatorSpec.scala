@@ -56,6 +56,35 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("portable winnowing kernel == declarative explode+window plan") {
+    // q_containment_fp's oracle SQL mirrors the declarative plan; the query
+    // itself runs the row-local kernel — this parity is what keeps the
+    // oracle green. Covers: ASCII, multi-byte BMP, non-BMP (surrogate
+    // pairs — code-point vs UTF-16 length divergence), exactly-minRun,
+    // below-minRun, and repeated text (distinct semantics).
+    val rng = new graft.sources.ClipCorpus.Rng(7L)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val minRun = 70
+    val docs = Seq(
+      "d0" -> randText(300),
+      "d1" -> randText(70),                          // exactly minRun
+      "d2" -> randText(69),                          // below: no fingerprints
+      "d3" -> (randText(40) + "é↕ßπ" * 20 + randText(40)),    // multi-byte BMP
+      "d4" -> (randText(50) + "😀x" * 30 + randText(50)), // non-BMP
+      "d5" -> (randText(100) * 3)                    // repeats -> distinct
+    ).toDF("doc_id", "t")
+    val plan = ContainmentJoin
+      .fingerprintsDeclarative(docs, "doc_id", "t", minRun, portable = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val kernel = ContainmentJoin.fingerprints(docs, "doc_id", "t", minRun,
+      portable = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kernel == plan,
+      s"kernel-only=${kernel -- plan}, plan-only=${plan -- kernel}")
+    assert(plan.nonEmpty && !plan.exists(_._1 == "d2"))
+  }
+
   test("gram prefilter is a true necessary condition (never rejects a real run)") {
     val rng = new graft.sources.ClipCorpus.Rng(6L)
     def randText(n: Int): String =
