@@ -394,7 +394,11 @@ object EmbeddingQueries {
       .select(col("vec_id"), col("tree"),
         when(dotDiff(col("embedding"), col("pe1"), col("pe2")) >= 0,
           expr("shiftleft(1, plane)")).otherwise(lit(0)).as("bitv"))
+    // codes feeds the query side AND the candidate side of the equi-join:
+    // lazy-checkpoint so the crossJoin+aggregation over all vectors runs
+    // once, not once per consumer
     val codes = bits.groupBy("vec_id", "tree").agg(sum("bitv").as("code"))
+      .localCheckpoint(eager = false)
     val q = codes.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("qid"), col("tree"), col("code"))
     val cand = q.join(codes.select(col("vec_id").as("vid"), col("tree"), col("code")),
