@@ -319,6 +319,86 @@ object ClipQueries {
         |ORDER BY a, b, method""".stripMargin
     })
 
+  // ---- text-tier search against a committed store, hash-checked by DuckDB --
+  // The search path's probabilistic tiers are inerted by config (an audio
+  // estimate floor > 1 kills the audio verify before any PCM work; a text
+  // jaccard threshold > 1 filters every LSH-collided pair), leaving the two
+  // DETERMINISTIC tiers: exact identity (tagged s:/t: sha256 keys probed
+  // against the stored key index) and containment (winnowing-fingerprint
+  // candidates + three-tier verify). Both are DuckDB-expressible — exact via
+  // sha256, containment EXHAUSTIVELY via a distinct 70-gram equi-join: the
+  // winnowing guarantee (property-tested in OperatorSpec) makes fingerprint
+  // collision a necessary condition for any shared run >= minRun, the exact
+  // LCR confirm discards every false collision, and the fingerprint-bucket
+  // cap is lifted so no candidate is dropped. This pins, end-to-end against
+  // an independent oracle: store build, value-bucketed key/fp index probing,
+  // bucket-pruned reads, the containment verify, best-method resolution
+  // (exact 1.0 outranks containment 0.9), and per-probe top-k ranking. The
+  // jaccard/audio scoring tiers of the same path stay spec-pinned
+  // (SearchSpec).
+  private val SearchK = 5
+
+  val textSearch = QueryDef(
+    "clip_text_search",
+    (spark, dir) => {
+      import graft.pipeline.{ClipSearch, DedupStore, IncrementalDedup}
+      val cfg = DedupConfig.default.copy(
+        audioEstimateMin = 2.0, // > 1: the audio tier can never pass
+        textJaccardThreshold = 1.01, // > 1: the text tier can never pass
+        containmentMaxBucket = Int.MaxValue) // oracle allows no dropped buckets
+      val store = new DedupStore(
+        java.nio.file.Files.createTempDirectory("graft-textsearch").toString)
+      val clips = docClips(spark, dir)
+      IncrementalDedup.initialize(spark,
+        clips.filter(col("clip_id").startsWith("doc_")), cfg, store)
+      ClipSearch.search(spark,
+        clips.filter(!col("clip_id").startsWith("doc_")), store, cfg,
+        k = SearchK)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("probe_id", "rank")
+    },
+    Some {
+      val minRun = DedupConfig.default.containmentMinRun
+      s"""WITH $ClipsCte,
+        |stored AS (SELECT * FROM clips WHERE clip_id LIKE 'doc!_%' ESCAPE '!'),
+        |probes AS (SELECT * FROM clips WHERE clip_id NOT LIKE 'doc!_%' ESCAPE '!'),
+        |pk AS (SELECT clip_id, 's:' || sha256(payload) AS k FROM probes
+        |       UNION ALL
+        |       SELECT clip_id, 't:' || sha256(transcript) FROM probes
+        |       WHERE length(transcript) > 0),
+        |sk AS (SELECT clip_id, 's:' || sha256(payload) AS k FROM stored
+        |       UNION ALL
+        |       SELECT clip_id, 't:' || sha256(transcript) FROM stored
+        |       WHERE length(transcript) > 0),
+        |ex AS (SELECT DISTINCT pk.clip_id AS probe_id, sk.clip_id AS match_id,
+        |              CAST(1.0 AS DOUBLE) AS score, 'exact' AS method
+        |       FROM pk JOIN sk USING (k)),
+        |pt AS (SELECT clip_id, lower(transcript) AS t FROM probes),
+        |st AS (SELECT clip_id, lower(transcript) AS t FROM stored),
+        |pg AS (SELECT DISTINCT clip_id, substr(t, CAST(i AS INT), $minRun) AS g
+        |       FROM (SELECT clip_id, t,
+        |                    unnest(range(1, length(t) - ${minRun - 2})) AS i
+        |             FROM pt WHERE length(t) >= $minRun)),
+        |sg AS (SELECT DISTINCT clip_id, substr(t, CAST(i AS INT), $minRun) AS g
+        |       FROM (SELECT clip_id, t,
+        |                    unnest(range(1, length(t) - ${minRun - 2})) AS i
+        |             FROM st WHERE length(t) >= $minRun)),
+        |cont AS (SELECT DISTINCT pg.clip_id AS probe_id, sg.clip_id AS match_id,
+        |                CAST(0.9 AS DOUBLE) AS score, 'containment' AS method
+        |         FROM pg JOIN sg ON pg.g = sg.g),
+        |u AS (SELECT * FROM ex UNION ALL SELECT * FROM cont),
+        |best AS (SELECT probe_id, match_id, score, method,
+        |                row_number() OVER (PARTITION BY probe_id, match_id
+        |                                   ORDER BY score DESC) AS mrk
+        |         FROM u),
+        |ranked AS (SELECT probe_id, match_id, score, method,
+        |                  row_number() OVER (PARTITION BY probe_id
+        |                                     ORDER BY score DESC, match_id) AS rank
+        |           FROM best WHERE mrk = 1)
+        |SELECT probe_id, match_id, score, method, rank FROM ranked
+        |WHERE rank <= $SearchK ORDER BY probe_id, rank""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(clusters, dupPairs, signatures, incremental,
-    search, sigHashes, exactEdges, exactClusters, textPairs)
+    search, sigHashes, exactEdges, exactClusters, textPairs, textSearch)
 }
