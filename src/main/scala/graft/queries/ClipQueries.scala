@@ -399,6 +399,156 @@ object ClipQueries {
         |WHERE rank <= $SearchK ORDER BY probe_id, rank""".stripMargin
     })
 
+  // ---- incremental MERGE path, hash-checked by DuckDB ----------------------
+  // Same inerting trick as clip_text_search, applied to the WRITE path: with
+  // the probabilistic tiers config-dead, a store's final cluster table is a
+  // pure function of corpus content — the connected components (min-id
+  // labels, singletons = own id) of the graph whose edges are exact identity
+  // (shared tagged s:/t: sha256 key) and containment (shared run >= minRun,
+  // = shared 70-gram). Three generations exercise the machinery for real:
+  //   1. initialize with the doc_ clips (batch build: star edges + exhaustive
+  //      containment join);
+  //   2. merge the dupa_/dupb_ wave — new ids joining STORED exact groups
+  //      through bucket-pruned key-index probes (E1 edges) plus delta-delta
+  //      and delta-stored containment through fp-index probes;
+  //   3. merge an UPDATE wave — every doc_id % 10 == 0 re-ingested with
+  //      'upd|'-prefixed content: change detection flags them, their old key
+  //      and fp index rows are invalidated, their exact stars BREAK (the doc_
+  //      id was each group's min/center), survivors re-star (E2) with
+  //      promoted-center re-probing, and the updated text containment-links
+  //      back to its old copies (the 'upd|' prefix preserves every >= 70-run).
+  // The DuckDB oracle knows nothing of merges: it computes the closure over
+  // the FINAL corpus content directly, so hash equality proves the
+  // merge==rebuild invariant (IncrementalSpec's pin) against an independent
+  // engine, end-to-end through change detection, index invalidation, star
+  // repair, bucket-pruned reads, and the clusters/mirror commit tail.
+  private val IncrClipsCte =
+    """clips AS (
+      |  SELECT 'doc_' || doc_id AS clip_id,
+      |         CASE WHEN doc_id % 10 = 0 THEN 'upd|' || source || '|' || text
+      |              ELSE source || '|' || text END AS payload,
+      |         CASE WHEN doc_id % 10 = 0 THEN 'upd|' || text
+      |              ELSE text END AS transcript
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'dupa_' || doc_id, source || '|' || text, text FROM documents
+      |  WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 'dupb_' || doc_id, 'alt|' || text, text FROM documents
+      |  WHERE doc_id % 13 = 0
+      |)""".stripMargin
+
+  /** The config with every probabilistic tier dead — store state becomes a
+    * pure function of corpus content (see clip_text_search). */
+  private def inertedCfg = DedupConfig.default.copy(
+    audioEstimateMin = 2.0, // > 1: the audio tier can never pass
+    textJaccardThreshold = 1.01, // > 1: the text tier can never pass
+    containmentMaxBucket = Int.MaxValue) // oracle allows no dropped buckets
+
+  /** The update wave: every doc_id % 10 == 0 re-ingested with 'upd|'-prefixed
+    * content (mirrors IncrClipsCte's CASE branch). */
+  private def updatedDocClips(spark: org.apache.spark.sql.SparkSession,
+                              dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .select(concat(lit("doc_"), col("doc_id")).as("clip_id"),
+        concat(lit("upd|"), col("source"), lit("|"), col("text")).as("payload"),
+        concat(lit("upd|"), col("text")).as("transcript"))
+      .select(col("clip_id"),
+        encode(col("payload"), "UTF-8").as("bytes"),
+        lit(8000).as("sr_hz"),
+        (length(col("payload")) / lit(16)).cast("int").as("dur_ms"),
+        lit("pcm_s16le").as("codec"),
+        col("transcript"))
+
+  /** Closure over the FINAL corpus content: exact (shared tagged key) and
+    * containment (shared 70-gram) edges, min-id component labels, singletons
+    * own id — what the store's clusters table must equal after ANY sequence
+    * of merges covering the same content (merge==rebuild). */
+  private val IncrClosureSql = {
+    val minRun = DedupConfig.default.containmentMinRun
+    s"""WITH RECURSIVE $IncrClipsCte,
+      |k AS (SELECT clip_id, 's:' || sha256(payload) AS k FROM clips
+      |      UNION ALL
+      |      SELECT clip_id, 't:' || sha256(transcript) FROM clips
+      |      WHERE length(transcript) > 0),
+      |h AS (SELECT k, min(clip_id) AS a FROM k GROUP BY k HAVING count(*) > 1),
+      |ex AS (SELECT DISTINCT h.a AS a, k.clip_id AS b FROM k JOIN h USING (k)
+      |       WHERE k.clip_id <> h.a),
+      |t AS (SELECT clip_id, lower(transcript) AS t FROM clips),
+      |g70 AS (SELECT DISTINCT clip_id, substr(t, CAST(i AS INT), $minRun) AS g
+      |        FROM (SELECT clip_id, t,
+      |                     unnest(range(1, length(t) - ${minRun - 2})) AS i
+      |              FROM t WHERE length(t) >= $minRun)),
+      |cont AS (SELECT DISTINCT x.clip_id AS a, y.clip_id AS b
+      |         FROM g70 x JOIN g70 y ON x.g = y.g AND x.clip_id < y.clip_id),
+      |e AS (SELECT a, b FROM ex UNION SELECT a, b FROM cont),
+      |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a WHERE r.n != s.b
+      |),
+      |comp AS (SELECT n, least(n, min(m)) AS component FROM reach GROUP BY n)
+      |SELECT c.clip_id, coalesce(comp.component, c.clip_id) AS component
+      |FROM clips c LEFT JOIN comp ON c.clip_id = comp.n
+      |ORDER BY clip_id""".stripMargin
+  }
+
+  val textIncremental = QueryDef(
+    "clip_text_incremental",
+    (spark, dir) => {
+      import graft.pipeline.{DedupStore, IncrementalDedup}
+      val cfg = inertedCfg
+      val store = new DedupStore(
+        java.nio.file.Files.createTempDirectory("graft-textincr").toString)
+      val clips = docClips(spark, dir)
+      IncrementalDedup.initialize(spark,
+        clips.filter(col("clip_id").startsWith("doc_")), cfg, store)
+      IncrementalDedup.merge(spark,
+        clips.filter(!col("clip_id").startsWith("doc_")), cfg, store)
+      IncrementalDedup.merge(spark, updatedDocClips(spark, dir), cfg, store)
+      store.clusters.read(spark)
+        .select("clip_id", "component").orderBy("clip_id")
+    },
+    Some(IncrClosureSql))
+
+  // ---- Structured Streaming ingest, hash-checked by the SAME closure ------
+  // The dup wave and the update wave arrive as two files of a streaming
+  // parquet source (maxFilesPerTrigger=1 -> one foreachBatch MERGE per file,
+  // StreamingMerge.attach — the §2.10 front door with its checkpointLocation
+  // and exactly-once-on-replay snapshots). merge==rebuild makes the final
+  // clusters table independent of batch boundaries and arrival order, so the
+  // identical DuckDB closure must hash-match: the streaming path gets the
+  // same independent-engine verification as the batch and incremental paths.
+  val textStreaming = QueryDef(
+    "clip_text_streaming",
+    (spark, dir) => {
+      import graft.pipeline.{DedupStore, IncrementalDedup}
+      import graft.streaming.StreamingMerge
+      val cfg = inertedCfg
+      val tmp = java.nio.file.Files.createTempDirectory("graft-textstream")
+      val store = new DedupStore(s"$tmp/store")
+      val clips = docClips(spark, dir)
+      IncrementalDedup.initialize(spark,
+        clips.filter(col("clip_id").startsWith("doc_")), cfg, store)
+      val in = s"$tmp/in"
+      clips.filter(!col("clip_id").startsWith("doc_"))
+        .coalesce(1).write.mode("append").parquet(in)
+      updatedDocClips(spark, dir)
+        .coalesce(1).write.mode("append").parquet(in)
+      val q = StreamingMerge.attach(
+        spark.readStream.schema(clips.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        store, cfg, s"$tmp/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      store.clusters.read(spark)
+        .select("clip_id", "component").orderBy("clip_id")
+    },
+    Some(IncrClosureSql))
+
   val all: Seq[QueryDef] = Seq(clusters, dupPairs, signatures, incremental,
-    search, sigHashes, exactEdges, exactClusters, textPairs, textSearch)
+    search, sigHashes, exactEdges, exactClusters, textPairs, textSearch,
+    textIncremental, textStreaming)
 }
