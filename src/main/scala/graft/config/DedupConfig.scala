@@ -61,6 +61,14 @@ final case class DedupConfig(
     // suffix-array-dedup move is exactly this: drop ubiquitous runs).
     // Dropped buckets are metered.
     containmentMaxBucket: Int = 64,
+    // containment tier backend: false = winnowing screen + exact verify
+    // (ContainmentJoin — the cheap default), true = the EXACT distributed
+    // suffix-array substring pass (operators.SuffixArray — no sampling, same
+    // predicate; O(log minRun) sort rounds over total transcript chars, the
+    // honest exact-pass cost). Same pairs on any corpus by construction
+    // (winnowing has exact recall AND an exact verify), pinned by
+    // PipelineSpec/SuffixArraySpec.
+    containmentViaSuffixArray: Boolean = false,
     maxPairs: Long = 500000L, // utils/util.py:176
     // clustering
     minClusterSize: Int = 2,

@@ -179,22 +179,25 @@ object ContainmentJoin {
   def fingerprintsFast(df: DataFrame, idCol: String, textCol: String, minRun: Int): DataFrame =
     df.select(col(idCol), explode(fingerprintsUdf(minRun)(col(textCol))).as("fp"))
 
-  /** Row-local longest common substring length (rolling-array DP). */
+  /** Row-local longest common substring length (rolling-array DP; the two
+    * row buffers SWAP instead of copying — the arraycopy was O(|s|) extra
+    * per outer row). */
   def longestCommonRunJvm(a: String, b: String): Int = {
     if (a == null || b == null || a.isEmpty || b.isEmpty) return 0
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
-    val prev = new Array[Int](s.length + 1)
-    val cur = new Array[Int](s.length + 1)
+    var prev = new Array[Int](s.length + 1)
+    var cur = new Array[Int](s.length + 1)
     var best = 0
     var j = 0
     while (j < t.length) {
+      val tj = t.charAt(j)
       var i = 0
       while (i < s.length) {
-        cur(i + 1) = if (t.charAt(j) == s.charAt(i)) prev(i) + 1 else 0
+        cur(i + 1) = if (tj == s.charAt(i)) prev(i) + 1 else 0
         if (cur(i + 1) > best) best = cur(i + 1)
         i += 1
       }
-      System.arraycopy(cur, 0, prev, 0, cur.length)
+      val tmp = prev; prev = cur; cur = tmp
       j += 1
     }
     best

@@ -114,17 +114,26 @@ object PairVerifier {
 
   /** Zero-lag normalized cross-correlation of two decoded PCM signals,
     * truncated to the shorter length. The TRUE audio-dup metric (additive
-    * noise at 35 dB SNR gives corr ~0.9997; unrelated signals ~0). */
+    * noise at 35 dB SNR gives corr ~0.9997; unrelated signals ~0).
+    *
+    * Computed directly in the int16 domain, ZERO allocation: the decode
+    * scale 1/32768 is a power of two, so every product and partial sum of
+    * the decoded-float formulation is exactly 2^30 times the int16 one —
+    * power-of-two scaling is exact in binary floating point, hence the
+    * ratio is BIT-IDENTICAL to decoding first (pinned by OperatorSpec
+    * parity test). The decoded-float form allocated two fresh float arrays
+    * (~100+ KB) per candidate PAIR — measured as the dominant GC source of
+    * the whole dup-pair stage (9-17 s of GC at 100k clips). */
   def pcmCorrJvm(a: Array[Byte], b: Array[Byte]): Double = {
     if (a == null || b == null || a.length < 4 || b.length < 4) return 0.0
-    val xa = graft.functions.AudioPcm.decodeJvm(a)
-    val xb = graft.functions.AudioPcm.decodeJvm(b)
-    val n = math.min(xa.length, xb.length)
+    val n = math.min(a.length, b.length) / 2
     var sab = 0.0; var saa = 0.0; var sbb = 0.0
     var i = 0
     while (i < n) {
-      sab += xa(i).toDouble * xb(i); saa += xa(i).toDouble * xa(i)
-      sbb += xb(i).toDouble * xb(i); i += 1
+      val sa = (a(2 * i + 1) << 8) | (a(2 * i) & 0xff)
+      val sb = (b(2 * i + 1) << 8) | (b(2 * i) & 0xff)
+      sab += sa.toDouble * sb; saa += sa.toDouble * sa
+      sbb += sb.toDouble * sb; i += 1
     }
     if (saa == 0.0 || sbb == 0.0) 0.0 else sab / math.sqrt(saa * sbb)
   }

@@ -221,11 +221,21 @@ object DedupPipeline {
     val audioPairs = PairVerifier.pcmConfirm(audioScreened, cachedClips, "clip_id", cfg.pcmCorrMin)
 
     // (d) containment: long verbatim transcript runs (>= cfg.containmentMinRun);
-    //     fingerprints come precomputed from the signature pass
-    val containPairs = ContainmentJoin.pairsFromFps(
-      repSigs.select(col("clip_id"), explode(col("cfps")).as("fp")),
-      cachedClips.select(col("clip_id"), lower(col("transcript")).as("_lt")),
-      "clip_id", "_lt", cfg)
+    //     default = winnowing screen + exact verify (fingerprints precomputed
+    //     by the signature pass); switchable to the exact distributed
+    //     suffix-array pass (same rep-filtered input, same hot-run cap role,
+    //     same pairs — SuffixArraySpec pins backend agreement)
+    val containBase =
+      if (cfg.containmentViaSuffixArray)
+        graft.operators.SuffixArray.substringPairs(
+          cachedClips.join(repIds, Seq("clip_id"), "left_semi")
+            .select(col("clip_id"), lower(col("transcript")).as("_lt")),
+          "clip_id", "_lt", cfg.containmentMinRun, cfg.containmentMaxBucket)
+      else ContainmentJoin.pairsFromFps(
+        repSigs.select(col("clip_id"), explode(col("cfps")).as("fp")),
+        cachedClips.select(col("clip_id"), lower(col("transcript")).as("_lt")),
+        "clip_id", "_lt", cfg)
+    val containPairs = containBase
       .select(col("a"), col("b"), lit(0.9).as("score"), lit("containment").as("method"))
 
     // checkpointCut, not persist: freeing the upstream hub checkpoints below

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.config.DedupConfig
 import graft.functions.{Hashing, SimHash, TextShingles}
-import graft.operators.{ConnectedComponents, ContainmentJoin, LshCandidates, MinHasher}
+import graft.operators.{ConnectedComponents, ContainmentJoin, LshCandidates, MinHasher, SuffixArray}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -255,6 +255,49 @@ object TextDedup {
         |ORDER BY doc_id, fp""".stripMargin
     })
 
+  /** Generalized suffix array (distributed prefix doubling) over a capped
+    * subset — the oracle materializes every suffix STRING and sorts them
+    * (O(total²) bytes), so it is capped like the brute-shaped queries; the
+    * Spark side is the scale-path construction (SuffixArray.suffixArray). */
+  val SaCap = 40L
+  val suffixArrayQ = QueryDef(
+    "q_suffix_array",
+    (spark, dir) =>
+      SuffixArray.suffixArray(
+          normedDocs(spark, dir).filter(col("doc_id") < SaCap), "doc_id", "t")
+        .select(col("_id").as("doc_id"),
+          (col("_pos") + lit(1L)).as("pos"), col("sa_pos"))
+        .orderBy("doc_id", "pos"),
+    Some(s"""WITH n AS (SELECT doc_id, ${Tables.NormSql} AS t FROM documents
+      |         WHERE doc_id < $SaCap),
+      |offs AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i
+      |         FROM n WHERE length(t) >= 1),
+      |sfx AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |               substr(t, CAST(i AS INT)) AS s FROM offs)
+      |SELECT doc_id, pos, row_number() OVER (ORDER BY s, doc_id, pos) AS sa_pos
+      |FROM sfx ORDER BY doc_id, pos""".stripMargin))
+
+  /** EXACT substring-dup pairs via the suffix-array pass (UNCAPPED — this is
+    * the scale path): docs sharing a verbatim run >= containmentMinRun.
+    * Oracle: a shared run of length >= L is equivalent to a shared L-gram,
+    * which DuckDB can check by equi-joining all L-grams. */
+  val suffixPairs = QueryDef(
+    "q_suffix_pairs",
+    (spark, dir) =>
+      SuffixArray.substringPairs(
+          normedDocs(spark, dir), "doc_id", "t", cfg.containmentMinRun)
+        .orderBy("a", "b"),
+    Some {
+      val L = cfg.containmentMinRun
+      s"""WITH n AS (SELECT doc_id, ${Tables.NormSql} AS t FROM documents),
+        |offs AS (SELECT doc_id, t, unnest(range(1, length(t) - $L + 2)) AS i
+        |         FROM n WHERE length(t) >= $L),
+        |g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $L) AS gram FROM offs)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |ORDER BY a, b""".stripMargin
+    })
+
   /** Connected components over the >=0.6 Jaccard dup graph; oracle = DuckDB
     * recursive-CTE transitive closure. */
   val ccClusters = QueryDef(
@@ -303,6 +346,6 @@ object TextDedup {
 
   val all: Seq[QueryDef] = Seq(
     exactDedup, jaccardDupPairs, wordNgramJaccardPairs, simhashSigs,
-    simhashNearPairs, minhashSigs, lshBandPairs, containmentFps, ccClusters,
-    clusterProfile)
+    simhashNearPairs, minhashSigs, lshBandPairs, containmentFps,
+    suffixArrayQ, suffixPairs, ccClusters, clusterProfile)
 }

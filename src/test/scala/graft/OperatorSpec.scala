@@ -34,6 +34,31 @@ class OperatorSpec extends SparkSpec {
     assert(PairVerifier.estimateJvm(Array.empty[Long], Array.empty[Long]) == 0.0)
   }
 
+  test("pcmCorrJvm int16 kernel is bit-identical to the decoded-float form") {
+    val rng = new graft.sources.ClipCorpus.Rng(9L)
+    def randBytes(n: Int) = Array.fill[Byte](n)((rng.nextInt(256) - 128).toByte)
+    // the formulation pcmCorrJvm replaced: decode to float, correlate
+    def floatCorr(a: Array[Byte], b: Array[Byte]): Double = {
+      val xa = AudioPcm.decodeJvm(a); val xb = AudioPcm.decodeJvm(b)
+      val n = math.min(xa.length, xb.length)
+      var sab = 0.0; var saa = 0.0; var sbb = 0.0
+      var i = 0
+      while (i < n) {
+        sab += xa(i).toDouble * xb(i); saa += xa(i).toDouble * xa(i)
+        sbb += xb(i).toDouble * xb(i); i += 1
+      }
+      if (saa == 0.0 || sbb == 0.0) 0.0 else sab / math.sqrt(saa * sbb)
+    }
+    (0 until 30).foreach { _ =>
+      val a = randBytes(4 + rng.nextInt(4000))
+      val b = randBytes(4 + rng.nextInt(4001)) // odd lengths included
+      assert(PairVerifier.pcmCorrJvm(a, b) == floatCorr(a, b))
+    }
+    assert(PairVerifier.pcmCorrJvm(null, randBytes(10)) == 0.0)
+    assert(PairVerifier.pcmCorrJvm(randBytes(2), randBytes(10)) == 0.0)
+    assert(PairVerifier.pcmCorrJvm(Array.fill[Byte](64)(0), randBytes(64)) == 0.0)
+  }
+
   test("sortedDistinct sorts and dedups in place") {
     assert(AudioPcm.sortedDistinct(Array(5L, 1L, 5L, 3L, 1L), 5).toSeq == Seq(1L, 3L, 5L))
     assert(AudioPcm.sortedDistinct(Array(7L, 9L, 9L), 2).toSeq == Seq(7L, 9L))

@@ -110,4 +110,22 @@ class PipelineSpec extends SparkSpec {
     assert(nPairs <= 60, s"pair table quadratic in group size: $nPairs pairs " +
       "(expected ~50 star edges + 1 rep-level near-dup pair)")
   }
+
+  test("containment tier: suffix-array backend reproduces the winnowing clusters") {
+    // same corpus, tier (d) on the exact suffix-array pass — the final
+    // cluster assignment must be IDENTICAL (winnowing has exact recall and
+    // an exact verify, so the two backends emit the same containment pairs;
+    // method attribution of pairs caught by several tiers is arbitrary under
+    // dropDuplicates, so clusters — the real contract — are compared)
+    val resSa = DedupPipeline.run(spark, ClipCorpus.clips(spark, cc).toDF(),
+      cfg.copy(containmentViaSuffixArray = true))
+    val base = result.clusters.select("node", "component").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val sa = resSa.clusters.select("node", "component").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sa == base)
+    val methods = resSa.dupPairs.groupBy("method").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(methods.getOrElse("containment", 0L) > 0, "containment pairs via SA")
+  }
 }
