@@ -24,9 +24,14 @@ object Bench {
   // q_minhash_sigs / q_lsh_band_pairs are NOT here: their portable-md5 oracle
   // hashing is reproducibility tax, not engine throughput (the pipeline's
   // xxhash64 path does the same work inside clip_dedup_clusters).
+  // q_suffix_pairs times the EXACT substring pass (suffix-array equality
+  // classes, no sampling) — inherently dearer than q_containment_fp's
+  // winnowing screen; like q_ann_nsw/q_ann_tree it times construction, not
+  // a probe.
   private val headline = Seq(
-    "q_containment_fp", "q_simhash", "q_bm25", "q_cosine_topk",
-    "q_ann_ivf", "q_ann_nsw", "q_ann_tree", "q_event_sessions")
+    "q_containment_fp", "q_suffix_pairs", "q_simhash", "q_bm25",
+    "q_cosine_topk", "q_ann_ivf", "q_ann_nsw", "q_ann_tree",
+    "q_event_sessions")
 
   private def session(cores: Int): SparkSession =
     SparkUtil.session(cores, s"graft-bench-$cores")

@@ -45,40 +45,45 @@ object SuffixArray {
     * sort) instead of single characters, saving log2(InitK) doubling rounds.
     * String order == truncated-suffix order (a prefix sorts before its
     * extensions, like a sentinel smaller than every char), so the doubling
-    * invariant holds from round 0. */
-  val InitK = 16
+    * invariant holds from round 0. 32 puts the containment depth (k=64 for
+    * minRun 70) ONE round away; the fatter init gram (~2x bytes through the
+    * round-0 sort) is far cheaper than another full doubling round. */
+  val InitK = 32
 
-  /** Global dense rank of a DISTINCT-key relation, scalably: range-partition
-    * sort -> pin partitions (eager localCheckpoint) -> per-partition row
-    * index from monotonically_increasing_id (partition id in the high 31
-    * bits, row index in the low 33 — stable once the RDD is materialized)
-    * -> broadcast-join the <= numPartitions cumulative offsets. No global
-    * window, no single-task stage; the only driver-side data is one count
-    * per shuffle partition (the same bounded-collect budget as the store's
-    * bucket-id sets).
+  /** Attach the global dense rank of `keyCols` to every row IN PLACE,
+    * scalably: range-partition sort (equal keys land in one partition) ->
+    * pin partitions (eager localCheckpoint) -> partition id from
+    * monotonically_increasing_id's high bits (stable once the RDD is
+    * materialized) -> per-partition dense_rank + broadcast-joined cumulative
+    * DISTINCT-key offsets. No global window, no single-task stage, no
+    * distinct-then-join-back (ranking 10^12 rows shuffles them exactly
+    * twice: once by key range, once by the <= numPartitions partition ids);
+    * the only driver-side data is one distinct-count per shuffle partition
+    * (the same bounded-collect budget as the store's bucket-id sets).
     *
-    * Returns (ranked relation with `out` = 1-based dense rank, key count,
-    * free-thunk releasing the pinned blocks). */
-  private[graft] def rankDistinct(keys: DataFrame, sortCols: Seq[String], out: String)
+    * Returns (input relation + `out` = 1-based dense rank, distinct-key
+    * count, free-thunk releasing the pinned blocks). */
+  private[graft] def rankAttach(df: DataFrame, keyCols: Seq[String], out: String)
       : (DataFrame, Long, () => Unit) = {
-    val spark = keys.sparkSession
+    val spark = df.sparkSession
     import spark.implicits._
     val (sorted, free) = SparkUtil.checkpointCut(
-      keys.repartitionByRange(sortCols.map(col): _*)
-        .sortWithinPartitions(sortCols.map(col): _*))
-    val withId = sorted.withColumn("_mid", monotonically_increasing_id())
-    val counts = withId
-      .groupBy(shiftright(col("_mid"), 33).as("_pid")).agg(count(lit(1)).as("_c"))
+      df.repartitionByRange(keyCols.map(col): _*)
+        .sortWithinPartitions(keyCols.map(col): _*))
+    val withPid = sorted.withColumn("_pid",
+      shiftright(monotonically_increasing_id(), 33))
+    val counts = withPid
+      .groupBy("_pid").agg(countDistinct(struct(keyCols.map(col): _*)).as("_c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val total = counts.map(_._2).sum
     val offsets = counts.map(_._1)
       .zip(counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toSeq
     val offDf = offsets.toDF("_pid", "_off")
-    val ranked = withId
-      .withColumn("_pid", shiftright(col("_mid"), 33))
+    val wPid = Window.partitionBy(col("_pid")).orderBy(keyCols.map(col): _*)
+    val ranked = withPid
       .join(broadcast(offDf), "_pid")
-      .select(sortCols.map(col) :+
-        (col("_off") + col("_mid").bitwiseAND(lit((1L << 33) - 1)) + 1).as(out): _*)
+      .withColumn(out, col("_off") + dense_rank().over(wPid))
+      .drop("_pid", "_off")
     (ranked, total, free)
   }
 
@@ -103,23 +108,28 @@ object SuffixArray {
       df.filter(length(col(textCol)) >= 1)
         .select(col(idCol).as("_id"),
           posexplode(suffixGrams(col(textCol), initK)).as(Seq("_pos", "_g"))))
-    val (r0, n0, freeR0) = rankDistinct(init.select("_g").distinct(), Seq("_g"), "_rank")
+    val (r0, n0, freeR0) = rankAttach(init, Seq("_g"), "_rank")
+    if (initK >= depth) {
+      // zero doubling rounds: hand back the lazy projection over the rank
+      // sort's pinned blocks — no extra materialization
+      freeInit()
+      return (r0.select(col("_id"), col("_pos"), col("_rank")), freeR0)
+    }
     var (cur, freeCur) = SparkUtil.checkpointCut(
-      init.join(r0, "_g").select(col("_id"), col("_pos"), col("_rank")))
+      r0.select(col("_id"), col("_pos"), col("_rank")))
     freeInit(); freeR0()
-    val nPos = cur.count()
     var k = initK
     var distinctKeys = n0
+    lazy val nPos = cur.count() // only the doubling loop needs it
     while (k < depth && distinctKeys < nPos) {
       val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
       // rank 0 = "suffix ends before this window" sentinel, ranks are 1-based
       val paired = cur.withColumn("_r2",
         coalesce(lead(col("_rank"), k).over(w), lit(0L)))
-      val (ranked, nKeys, freeRank) = rankDistinct(
-        paired.select("_rank", "_r2").distinct(), Seq("_rank", "_r2"), "_nrank")
+      val (ranked, nKeys, freeRank) =
+        rankAttach(paired, Seq("_rank", "_r2"), "_nrank")
       val (nextCp, freeNext) = SparkUtil.checkpointCut(
-        paired.join(ranked, Seq("_rank", "_r2"))
-          .select(col("_id"), col("_pos"), col("_nrank").as("_rank")))
+        ranked.select(col("_id"), col("_pos"), col("_nrank").as("_rank")))
       freeRank(); freeCur()
       cur = nextCp; freeCur = freeNext
       distinctKeys = nKeys
@@ -142,7 +152,7 @@ object SuffixArray {
         .withColumn("sa_pos", lit(0L)).limit(0)
     val (ranks, freeRanks) = suffixRanks(df, idCol, textCol,
       math.max(1, Integer.highestOneBit(maxLen) * 2))
-    val (sa, _, freeSa) = rankDistinct(
+    val (sa, _, freeSa) = rankAttach(
       ranks.select(col("_rank"), col("_id"), col("_pos")),
       Seq("_rank", "_id", "_pos"), "sa_pos")
     val (cp, _) = SparkUtil.checkpointCut(sa.select(col("_id"), col("_pos"), col("sa_pos")))
@@ -151,38 +161,59 @@ object SuffixArray {
   }
 
   /** EXACT substring-duplicate pairs: (a, b) with a < b iff the two
-    * documents share a verbatim run of >= minRun code points. Classic
-    * any-length-prefix comparison: with k = 2^floor(lg minRun) (so
-    * k <= minRun <= 2k), suffixes i, j share a minRun-prefix iff
-    * (rank_k[i], rank_k[i + minRun - k]) == (rank_k[j], rank_k[j + minRun - k])
-    * — the two k-windows cover the minRun span. Grouping positions by that
-    * class key and pairing distinct documents within each class yields
-    * exactly the shared-run pairs. `maxClass` drops classes shared by more
-    * documents than the skew cap (ubiquitous boilerplate runs — same guard
-    * and rationale as DedupConfig.containmentMaxBucket); Int.MaxValue =
-    * exact. */
+    * documents share a verbatim run of >= minRun code points.
+    *
+    * Generalized multi-window prefix comparison: with d = min(InitK,
+    * 2^floor(lg minRun)) and window offsets 0, d, 2d, ..., (minRun - d)
+    * (consecutive gaps <= d, so the d-windows COVER [0, minRun)), suffixes
+    * i, j share a minRun-prefix iff rank_d[i + o] == rank_d[j + o] for
+    * every offset o — each window forces equality of its d chars, the cover
+    * forces the whole span; conversely a shared minRun-prefix makes every
+    * windowed rank equal. With d = InitK the class key comes STRAIGHT from
+    * the round-0 gram ranks: the pairs path runs zero doubling rounds (one
+    * window pass computes all the `lead` columns), which is what makes this
+    * the scale path rather than log-rounds-then-pair.
+    *
+    * Grouping positions by that class key and pairing distinct documents
+    * within each class yields exactly the shared-run pairs. `maxClass`
+    * drops classes shared by more documents than the skew cap (ubiquitous
+    * boilerplate runs — same guard and rationale as
+    * DedupConfig.containmentMaxBucket); Int.MaxValue = exact. */
   def substringPairs(df: DataFrame, idCol: String, textCol: String, minRun: Int,
                      maxClass: Int = Int.MaxValue): DataFrame = {
     require(minRun >= 2, "minRun must be >= 2")
-    val k = Integer.highestOneBit(minRun)
-    val (ranks, freeRanks) = suffixRanks(df, idCol, textCol, k)
+    val d = math.min(InitK, Integer.highestOneBit(minRun))
+    val (ranks, freeRanks) = suffixRanks(df, idCol, textCol, d)
+    // offsets 0, d, ..., then exactly minRun - d: m - 1 = ceil((minRun-d)/d)
+    // full-stride steps keep every gap <= d and the last window ends at
+    // minRun exactly
+    val m = math.ceil((minRun - d).toDouble / d).toInt + 1
+    val offs = ((0 until m - 1).map(_ * d) :+ (minRun - d)).distinct
     val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
-    val shifted = if (minRun == k) col("_rank") else lead(col("_rank"), minRun - k).over(w)
+    val keyCols = offs.indices.map(j => s"_c$j")
+    val keyed = offs.zipWithIndex.foldLeft(
+      ranks.withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_id"))))) {
+      case (acc, (o, j)) =>
+        acc.withColumn(s"_c$j",
+          if (o == 0) col("_rank") else lead(col("_rank"), o).over(w))
+    }
     val (cls, freeCls) = SparkUtil.checkpointCut(
-      ranks
-        .withColumn("_c2", shifted)
-        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_id"))))
+      keyed
         // keep only positions with a full minRun window (0-based:
-        // pos + minRun <= doc length); there the lead target exists
+        // pos + minRun <= doc length); there every lead target exists
         .filter(col("_pos") <= col("_n") - minRun)
-        .select(col("_id"), col("_rank").as("_c1"), col("_c2"))
+        .select(col("_id") +: keyCols.map(col): _*)
         .distinct())
     freeRanks()
-    val sizes = cls.groupBy("_c1", "_c2").agg(count(lit(1)).as("_n"))
-    val kept = cls.join(sizes.filter(col("_n") <= maxClass), Seq("_c1", "_c2"))
+    // class-size cap via a window (NOT a groupBy+join-back): the count
+    // window shuffles by the class key once, and the self-join both sides
+    // inherit that partitioning — no extra exchange
+    val kept = cls
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col("_n") <= maxClass).drop("_n")
     val (cp, _) = SparkUtil.checkpointCut(
-      kept.select(col("_c1"), col("_c2"), col("_id").as("a"))
-        .join(kept.select(col("_c1"), col("_c2"), col("_id").as("b")), Seq("_c1", "_c2"))
+      kept.select(keyCols.map(col) :+ col("_id").as("a"): _*)
+        .join(kept.select(keyCols.map(col) :+ col("_id").as("b"): _*), keyCols)
         .filter(col("a") < col("b"))
         .select("a", "b").distinct())
     freeCls()

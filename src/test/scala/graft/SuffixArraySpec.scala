@@ -128,15 +128,19 @@ class SuffixArraySpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
-  test("rankDistinct: dense 1..n global rank, any partitioning") {
-    val keys = (1 to 999).map(i => (f"k$i%04d", rng.nextLong()))
-      .sortBy(_._2).map(_._1).toDF("_g")
-      .repartition(7)
-    val (ranked, n, free) = SuffixArray.rankDistinct(keys, Seq("_g"), "r")
-    val got = ranked.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+  test("rankAttach: dense 1..n global rank over DUPLICATE keys, any partitioning") {
+    // each key appears 1-3 times; ranks must be equal within a key and
+    // densely cover 1..999 across keys
+    val rows = (1 to 999).flatMap(i => Seq.fill(1 + i % 3)(f"k$i%04d"))
+    val keys = rows.map(k => (k, rng.nextLong())).sortBy(_._2).map(_._1)
+      .toDF("_g").repartition(7)
+    val (ranked, n, free) = SuffixArray.rankAttach(keys, Seq("_g"), "r")
+    val got = ranked.collect().map(r => (r.getString(0), r.getLong(1)))
     assert(n == 999L)
-    assert(got.map(_._2).toSeq == (1L to 999L))
-    assert(got.map(_._1).toSeq == (1 to 999).map(i => f"k$i%04d"))
+    val byKey = got.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byKey.values.forall(_.size == 1), "a key got two different ranks")
+    val rankOfKey = byKey.view.mapValues(_.head).toMap.toSeq.sortBy(_._1)
+    assert(rankOfKey.map(_._2) == (1L to 999L), "ranks not dense 1..n in key order")
     free()
   }
 }
