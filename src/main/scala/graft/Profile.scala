@@ -32,7 +32,8 @@ object Profile {
     if (args.length > 2 && args(2) == "explain") {
       val dir = if (args.length > 3) args(3) else "/root/testdata/sf0.01"
       val qmap = SparkEntry.queries
-      Seq("q_topk_per_source", "q_token_stats", "q_cosine_topk", "q_lsh_band_pairs")
+      Seq("q_topk_per_source", "q_token_stats", "q_cosine_topk", "q_lsh_band_pairs",
+          "q_suffix_pairs")
         .foreach { nm =>
           println(s"########## $nm")
           println(qmap(nm)(spark, dir).queryExecution.explainString(
