@@ -64,10 +64,14 @@ final case class DedupConfig(
     // containment tier backend: false = winnowing screen + exact verify
     // (ContainmentJoin — the cheap default), true = the EXACT distributed
     // suffix-array substring pass (operators.SuffixArray — no sampling, same
-    // predicate; O(log minRun) sort rounds over total transcript chars, the
-    // honest exact-pass cost). Same pairs on any corpus by construction
-    // (winnowing has exact recall AND an exact verify), pinned by
-    // PipelineSpec/SuffixArraySpec.
+    // predicate; bounded sort rounds over total transcript chars, the honest
+    // exact-pass cost). Same pairs by construction (winnowing has exact
+    // recall AND an exact verify), pinned by PipelineSpec/SuffixArraySpec —
+    // with one unit caveat: the winnowing kernels count run length in
+    // UTF-16 units (String.charAt) while the suffix array counts Unicode
+    // code points (Spark substr semantics); the two differ only on
+    // transcripts containing supplementary-plane characters, where the
+    // suffix array's >= minRun is the stricter reading.
     containmentViaSuffixArray: Boolean = false,
     maxPairs: Long = 500000L, // utils/util.py:176
     // clustering

@@ -62,7 +62,10 @@ object SuffixArray {
     * (the same bounded-collect budget as the store's bucket-id sets).
     *
     * Returns (input relation + `out` = 1-based dense rank, distinct-key
-    * count, free-thunk releasing the pinned blocks). */
+    * count, free-thunk releasing the pinned blocks). dense_rank is 32-bit
+    * WITHIN a partition (fine: a range partition holding 2^31 rows is
+    * mis-sized by orders of magnitude); the cross-partition offset and the
+    * returned rank are 64-bit. */
   private[graft] def rankAttach(df: DataFrame, keyCols: Seq[String], out: String)
       : (DataFrame, Long, () => Unit) = {
     val spark = df.sparkSession
@@ -205,12 +208,14 @@ object SuffixArray {
         .select(col("_id") +: keyCols.map(col): _*)
         .distinct())
     freeRanks()
-    // class-size cap via a window (NOT a groupBy+join-back): the count
-    // window shuffles by the class key once, and the self-join both sides
-    // inherit that partitioning — no extra exchange
-    val kept = cls
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
-      .filter(col("_n") <= maxClass).drop("_n")
+    // class-size cap via groupBy + join, NOT a count window: a window
+    // shuffles every row of a mega-class (ubiquitous boilerplate run) into
+    // ONE task and sorts it before the cap can drop it, while the groupBy
+    // pre-aggregates map-side (a 10^9-member class arrives at the reducer
+    // as partial counts) and AQE skew-splits the join — the cap takes
+    // effect BEFORE any single task has to hold a hot class
+    val sizes = cls.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+    val kept = cls.join(sizes.filter(col("_n") <= maxClass), keyCols).drop("_n")
     val (cp, _) = SparkUtil.checkpointCut(
       kept.select(keyCols.map(col) :+ col("_id").as("a"): _*)
         .join(kept.select(keyCols.map(col) :+ col("_id").as("b"): _*), keyCols)
