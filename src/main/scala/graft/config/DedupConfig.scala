@@ -71,7 +71,10 @@ final case class DedupConfig(
     // UTF-16 units (String.charAt) while the suffix array counts Unicode
     // code points (Spark substr semantics); the two differ only on
     // transcripts containing supplementary-plane characters, where the
-    // suffix array's >= minRun is the stricter reading.
+    // suffix array's >= minRun is the stricter reading. BATCH-only knob:
+    // IncrementalDedup.initialize pins the winnowing backend regardless —
+    // the store's containment index is winnowing fingerprints, and
+    // merge == rebuild requires both sides to cap hot runs the same way.
     containmentViaSuffixArray: Boolean = false,
     maxPairs: Long = 500000L, // utils/util.py:176
     // clustering

@@ -163,6 +163,49 @@ object SuffixArray {
     cp
   }
 
+  /** Longest common prefix, in CODE POINTS, of suffix `pa` of `ta` vs
+    * suffix `pb` of `tb` (pa/pb are 0-based code-point offsets). Row-local:
+    * O(offset + lcp) UTF-16 walk, surrogate-pair aware. */
+  def lcpJvm(ta: String, pa: Int, tb: String, pb: Int): Long = {
+    if (ta == null || tb == null) return 0L
+    var ia = ta.offsetByCodePoints(0, pa)
+    var ib = tb.offsetByCodePoints(0, pb)
+    var n = 0L
+    while (ia < ta.length && ib < tb.length) {
+      val ca = ta.codePointAt(ia)
+      if (ca != tb.codePointAt(ib)) return n
+      n += 1
+      ia += Character.charCount(ca)
+      ib += Character.charCount(ca)
+    }
+    n
+  }
+
+  /** The LCP array companion of `suffixArray`: (_id, _pos, sa_pos, lcp),
+    * lcp = longest common prefix with the PREVIOUS suffix in SA order
+    * (0 for sa_pos 1). Adjacency is a plain equi-join on sa_pos-1 (dense
+    * ranks — no global window), and each pair's LCP is a row-local kernel
+    * over the two documents' texts, so nothing materializes suffix strings.
+    * The text join does haul each document's full text once per position —
+    * O(total chars × doc length) shuffle bytes — so this form is for
+    * capped/analytic use like the q_suffix_array oracle; the all-scale
+    * alternative (binary-search LCP over the retained power-of-two rank
+    * tables, O(log maxlen) equi-joins) is not carried because no carried
+    * operator consumes corpus-wide LCP. */
+  def lcpArray(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lcpUdf = udf((ta: String, pa: Int, tb: String, pb: Int) => lcpJvm(ta, pa, tb, pb))
+    val sa = suffixArray(df, idCol, textCol)
+    val texts = df.select(col(idCol).as("_id"), col(textCol).as("_t"))
+    val cur = sa.join(texts, "_id")
+    val prev = cur.select((col("sa_pos") + 1).as("sa_pos"),
+      col("_pos").as("_ppos"), col("_t").as("_pt"))
+    cur.join(prev, Seq("sa_pos"), "left")
+      .select(col("_id"), col("_pos"), col("sa_pos"),
+        when(col("_pt").isNull, 0L)
+          .otherwise(lcpUdf(col("_t"), col("_pos"), col("_pt"), col("_ppos")))
+          .as("lcp"))
+  }
+
   /** EXACT substring-duplicate pairs: (a, b) with a < b iff the two
     * documents share a verbatim run of >= minRun code points.
     *

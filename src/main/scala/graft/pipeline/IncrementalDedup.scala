@@ -108,10 +108,20 @@ object IncrementalDedup {
     df.select(t.bucketOf.cast("int").as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
 
-  /** Full rebuild (the reference's --force-rebuild, G6). */
+  /** Full rebuild (the reference's --force-rebuild, G6).
+    *
+    * The containment tier is PINNED to the winnowing backend here,
+    * whatever cfg says: the store's containment index IS winnowing
+    * fingerprints (fpRows), and every subsequent merge verifies through
+    * them — a rebuild under the suffix-array backend would share the same
+    * pairs in the normal regime (SuffixArraySpec pins backend agreement)
+    * but caps hot runs by CLASS size where merges cap by FINGERPRINT
+    * bucket, so a boilerplate-heavy corpus could break merge == rebuild.
+    * The suffix-array flag is a batch-analytics knob, not a store one. */
   def initialize(spark: SparkSession, clipsDf: DataFrame, cfg: DedupConfig,
                  store: DedupStore): Unit = {
-    val res = DedupPipeline.run(spark, clipsDf, cfg)
+    val res = DedupPipeline.run(spark, clipsDf,
+      cfg.copy(containmentViaSuffixArray = false))
     store.clips.commit(clipsDf.withColumn("is_deleted", lit(false)), "create")
     store.signatures.commit(res.signatures.withColumn("is_deleted", lit(false)),
       "create", res.metrics.map(m => s"${m.stage}.${m.metric}" -> m.value).toMap)

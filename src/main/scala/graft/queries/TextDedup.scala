@@ -277,6 +277,39 @@ object TextDedup {
       |SELECT doc_id, pos, row_number() OVER (ORDER BY s, doc_id, pos) AS sa_pos
       |FROM sfx ORDER BY doc_id, pos""".stripMargin))
 
+  /** LCP array over the same capped subset: for every suffix, the longest
+    * common prefix with its SA predecessor — the classic SA companion
+    * (adjacent-LCP >= L runs are exactly the shared-substring witnesses).
+    * Oracle: brute suffix sort + a bounded-k prefix-equality scan (LcpMaxLen
+    * must exceed every suffix length at the capped subset; docs are
+    * ~300-600 chars). */
+  val LcpMaxLen = 1000
+  val suffixLcpQ = QueryDef(
+    "q_suffix_lcp",
+    (spark, dir) =>
+      SuffixArray.lcpArray(
+          normedDocs(spark, dir).filter(col("doc_id") < SaCap), "doc_id", "t")
+        .select(col("_id").as("doc_id"),
+          (col("_pos") + lit(1L)).as("pos"), col("sa_pos"), col("lcp"))
+        .orderBy("doc_id", "pos"),
+    Some(s"""WITH n AS (SELECT doc_id, ${Tables.NormSql} AS t FROM documents
+      |         WHERE doc_id < $SaCap),
+      |offs AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i
+      |         FROM n WHERE length(t) >= 1),
+      |sfx AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |               substr(t, CAST(i AS INT)) AS s,
+      |               row_number() OVER (ORDER BY substr(t, CAST(i AS INT)), doc_id, i) AS sa_pos
+      |        FROM offs),
+      |lcpj AS (SELECT cur.sa_pos AS sp, max(t.k) AS lcp
+      |         FROM sfx cur JOIN sfx prv ON prv.sa_pos = cur.sa_pos - 1
+      |         CROSS JOIN range(0, ${LcpMaxLen + 1}) t(k)
+      |         WHERE t.k <= least(length(cur.s), length(prv.s))
+      |           AND substr(cur.s, 1, CAST(t.k AS INT)) = substr(prv.s, 1, CAST(t.k AS INT))
+      |         GROUP BY cur.sa_pos)
+      |SELECT cur.doc_id, cur.pos, cur.sa_pos, COALESCE(l.lcp, 0) AS lcp
+      |FROM sfx cur LEFT JOIN lcpj l ON l.sp = cur.sa_pos
+      |ORDER BY cur.doc_id, cur.pos""".stripMargin))
+
   /** EXACT substring-dup pairs via the suffix-array pass (UNCAPPED — this is
     * the scale path): docs sharing a verbatim run >= containmentMinRun.
     * Oracle: a shared run of length >= L is equivalent to a shared L-gram,
@@ -347,5 +380,5 @@ object TextDedup {
   val all: Seq[QueryDef] = Seq(
     exactDedup, jaccardDupPairs, wordNgramJaccardPairs, simhashSigs,
     simhashNearPairs, minhashSigs, lshBandPairs, containmentFps,
-    suffixArrayQ, suffixPairs, ccClusters, clusterProfile)
+    suffixArrayQ, suffixLcpQ, suffixPairs, ccClusters, clusterProfile)
 }

@@ -62,6 +62,35 @@ class SuffixArraySpec extends SparkSpec {
     assert(sparkSa(docs) == bruteSa(docs))
   }
 
+  /** Brute LCP array: code-point LCP of each SA-adjacent suffix pair. */
+  private def bruteLcp(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long)] = {
+    val sa = bruteSa(docs).sortBy(_._3) // by sa_pos
+    val cps = docs.toMap.view.mapValues(_.codePoints().toArray).toMap
+    def sfx(id: Long, p: Long): Array[Int] = cps(id).drop(p.toInt)
+    sa.zipWithIndex.map { case ((id, p, sp), i) =>
+      val lcp = if (i == 0) 0L else {
+        val (pid, pp, _) = sa(i - 1)
+        val a = sfx(id, p); val b = sfx(pid, pp)
+        var k = 0
+        while (k < math.min(a.length, b.length) && a(k) == b(k)) k += 1
+        k.toLong
+      }
+      (id, p, sp, lcp)
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("lcpArray == brute force (incl. repetitive ties and non-BMP)") {
+    val docs = (0L until 12L).map(i => (i, randText(20 + rng.nextInt(120), alpha = 3))) ++
+      Seq((20L, "ab" * 40), (21L, "ab" * 25 + "a"), (22L, "x𝄞y𝄞z"), (23L, "x𝄞y𝄞w"))
+    val got = SuffixArray.lcpArray(docs.toDF("doc_id", "t"), "doc_id", "t")
+      .select(col("_id").cast("long"), col("_pos").cast("long"), col("sa_pos"), col("lcp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(r => (r._1, r._2))
+    val want = bruteLcp(docs)
+    assert(got.nonEmpty && got.exists(_._4 > 0))
+    assert(got == want)
+  }
+
   test("substringPairs: exact — equals brute-force shared-run check, planted runs") {
     val minRun = 70
     val shared1 = randText(minRun) // exactly minRun
