@@ -376,7 +376,7 @@ object Profile {
         val stages = stageInfo.asScala.toSeq
         println(f"[profile] $label stages=${stages.size} sum-task-time=${stages.map(_._2.rt).sum / 1000.0}%.1f s sum-cpu=${stages.map(_._2.cpu).sum / 1000.0}%.1f s sum-gc=${stages.map(_._2.gc).sum / 1000.0}%.1f s")
         stages.sortBy(-_._2.wall).take(16).foreach { case (id, s) =>
-          println(f"[profile]   stage $id%4d wall ${s.wall / 1000.0}%7.2f s  run ${s.rt / 1000.0}%8.1f s  cpu ${s.cpu / 1000.0}%8.1f s  gc ${s.gc / 1000.0}%6.1f s  ${s.nt}%4d tasks  ${s.site}")
+          println(f"[profile]   stage $id%4d wall ${s.wall / 1000.0}%7.2f s  run ${s.rt / 1000.0}%8.1f s  cpu ${s.cpu / 1000.0}%8.1f s  gc ${s.gc / 1000.0}%6.1f s  ${s.nt}%4d tasks  ${s.name}  ${s.site}")
         }
         stageInfo.clear()
       }

@@ -24,11 +24,11 @@ import org.apache.spark.sql.functions._
  *   rank_2k[i] = dense rank of (rank_k[i], rank_k[i+k])   — O(log L) rounds
  *
  * Scale shape at 10^12 chars: every round shuffles the (id, pos, rank)
- * relation a bounded number of times (a `lead` window keyed by doc id, a
- * range-partitioned sort of the DISTINCT rank pairs, one join back) — all
- * linear in total corpus characters with no skew amplification (rank pairs
- * approach uniqueness after the first rounds; the range partitioner
- * balances by sampling). Rounds stop early as soon as every suffix class
+ * relation a bounded number of times (a `lead` window keyed by doc id,
+ * then rankAttach's two shuffles — range sort + partition-id window; no
+ * distinct-then-join-back) — all linear in total corpus characters with no
+ * skew amplification (rank pairs approach uniqueness after the first
+ * rounds; the range partitioner balances by sampling). Rounds stop early as soon as every suffix class
  * is a singleton — on natural text that is depth ~32-64, not max document
  * length. This is the honest cost of an exact substring pass; the winnowing
  * screen stays the cheap default and this pass is the exact path for
