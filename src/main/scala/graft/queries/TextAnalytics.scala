@@ -47,6 +47,33 @@ object TextAnalytics {
       |       CAST(length(t) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_token_len
       |FROM tk ORDER BY doc_id""".stripMargin))
 
+  /** BPE-ish subword counting: the GPT-2-style pre-tokenizer approximated
+    * as alpha runs | digit runs | single punctuation (a regex both Java and
+    * DuckDB RE2 interpret identically), plus FERTILITY (subtokens per
+    * whitespace token) — the standard budget metric for how many model
+    * tokens a corpus costs relative to its word count. */
+  val SubwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  val subwordStats = QueryDef(
+    "q_subword_stats",
+    (spark, dir) => {
+      val norm = Tables.normText(col("text"))
+      val toks = split(norm, " ")
+      val sub = regexp_extract_all(norm, lit(SubwordPattern), lit(0))
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        size(sub).cast("long").as("n_subtokens"),
+        size(array_distinct(sub)).cast("long").as("n_distinct_subtokens"),
+        (size(sub).cast("double") / size(toks)).as("fertility"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH n AS (SELECT doc_id, ${Tables.NormSql} AS t FROM documents),
+      |tk AS (SELECT doc_id, t, string_split(t, ' ') AS toks,
+      |              regexp_extract_all(t, '$SubwordPattern') AS sub FROM n)
+      |SELECT doc_id, len(sub) AS n_subtokens,
+      |       len(list_distinct(sub)) AS n_distinct_subtokens,
+      |       CAST(len(sub) AS DOUBLE) / len(toks) AS fertility
+      |FROM tk ORDER BY doc_id""".stripMargin))
+
   val langProfile = QueryDef(
     "q_lang_profile",
     (spark, dir) =>
@@ -154,5 +181,6 @@ object TextAnalytics {
       |FROM n ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] =
-    Seq(tokenStats, langProfile, qualityScore, langId, docFingerprint)
+    Seq(tokenStats, subwordStats, langProfile, qualityScore, langId,
+      docFingerprint)
 }

@@ -34,6 +34,19 @@ class OperatorSpec extends SparkSpec {
     assert(PairVerifier.estimateJvm(Array.empty[Long], Array.empty[Long]) == 0.0)
   }
 
+  test("subword counting: BPE-ish regex splits punctuation and digit runs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-subword").toString
+    Seq((1L, "Hello, world! v2.0 costs $3"), (2L, "plain words only"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_subword_stats")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // "hello , world ! v 2 . 0 costs $ 3" = 11 subtokens over 5 ws tokens
+    assert(out(1L) == ((11L, 11L, 2.2)))
+    assert(out(2L) == ((3L, 3L, 1.0)))
+  }
+
   test("pcmCorrJvm int16 kernel is bit-identical to the decoded-float form") {
     val rng = new graft.sources.ClipCorpus.Rng(9L)
     def randBytes(n: Int) = Array.fill[Byte](n)((rng.nextInt(256) - 128).toByte)
