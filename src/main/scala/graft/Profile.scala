@@ -43,6 +43,35 @@ object Profile {
       return
     }
 
+    if (args.length > 2 && args(2) == "recall") {
+      // dup-pair recall/precision vs planted clusters at ANY corpus size —
+      // the PipelineSpec check (n=1000) re-run at scale, so quality claims
+      // aren't extrapolated from the toy fixture
+      val res = time("pipeline")(DedupPipeline.run(spark, clips, cfg))
+      val golden = ClipCorpus.goldenLabels(spark, CorpusConfig(seed = 42L, n = n)).toDF()
+      val members = golden.filter(col("cluster_id") >= 0)
+      val goldenPairs = members.as("x").join(members.as("y"), "cluster_id")
+        .filter(col("x.clip_id") < col("y.clip_id"))
+        .select(col("x.clip_id").as("a"), col("y.clip_id").as("b"))
+        .localCheckpoint(eager = false)
+      val assign = res.clusters.select(col("node").as("clip_id"), col("component"))
+        .localCheckpoint(eager = false)
+      val found = goldenPairs
+        .join(assign.withColumnRenamed("clip_id", "a").withColumnRenamed("component", "ca"), "a")
+        .join(assign.withColumnRenamed("clip_id", "b").withColumnRenamed("component", "cb"), "b")
+        .filter(col("ca") === col("cb"))
+      val total = goldenPairs.count(); val hit = found.count()
+      val predPairs = assign.as("x").join(assign.as("y"), "component")
+        .filter(col("x.clip_id") < col("y.clip_id"))
+        .select(col("x.clip_id").as("a"), col("y.clip_id").as("b"))
+      val nPred = predPairs.count()
+      val falsePos = predPairs.join(goldenPairs, Seq("a", "b"), "left_anti").count()
+      println(f"[profile] recall@$n: ${hit.toDouble / total}%.4f ($hit/$total golden pairs co-clustered)")
+      println(f"[profile] precision@$n: ${1.0 - falsePos.toDouble / math.max(1, nPred)}%.4f ($falsePos false of $nPred predicted)")
+      spark.stop()
+      return
+    }
+
     if (args.length > 2 && args(2) == "qtime") {
       // time named SparkEntry queries twice (cold+warm) against args(3) dir
       val dir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
