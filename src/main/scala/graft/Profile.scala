@@ -68,6 +68,14 @@ object Profile {
       val falsePos = predPairs.join(goldenPairs, Seq("a", "b"), "left_anti").count()
       println(f"[profile] recall@$n: ${hit.toDouble / total}%.4f ($hit/$total golden pairs co-clustered)")
       println(f"[profile] precision@$n: ${1.0 - falsePos.toDouble / math.max(1, nPred)}%.4f ($falsePos false of $nPred predicted)")
+      // missed pairs by planted kind — names the tier that owns the tail
+      val kinds = golden.select(col("clip_id"), col("kind"))
+      goldenPairs.join(found.select("a", "b"), Seq("a", "b"), "left_anti")
+        .join(kinds.withColumnRenamed("clip_id", "a").withColumnRenamed("kind", "ka"), "a")
+        .join(kinds.withColumnRenamed("clip_id", "b").withColumnRenamed("kind", "kb"), "b")
+        .groupBy("ka", "kb").count().orderBy(col("count").desc)
+        .collect().foreach(r => println(
+          s"[profile] missed ${r.getString(0)}~${r.getString(1)}: ${r.getLong(2)}"))
       spark.stop()
       return
     }
