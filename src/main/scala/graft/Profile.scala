@@ -70,12 +70,26 @@ object Profile {
       println(f"[profile] precision@$n: ${1.0 - falsePos.toDouble / math.max(1, nPred)}%.4f ($falsePos false of $nPred predicted)")
       // missed pairs by planted kind — names the tier that owns the tail
       val kinds = golden.select(col("clip_id"), col("kind"))
-      goldenPairs.join(found.select("a", "b"), Seq("a", "b"), "left_anti")
+      val missed = goldenPairs.join(found.select("a", "b"), Seq("a", "b"), "left_anti")
+        .localCheckpoint(eager = false)
+      missed
         .join(kinds.withColumnRenamed("clip_id", "a").withColumnRenamed("kind", "ka"), "a")
         .join(kinds.withColumnRenamed("clip_id", "b").withColumnRenamed("kind", "kb"), "b")
         .groupBy("ka", "kb").count().orderBy(col("count").desc)
         .collect().foreach(r => println(
           s"[profile] missed ${r.getString(0)}~${r.getString(1)}: ${r.getLong(2)}"))
+      // are misses below the verify floor (threshold tail) or above it
+      // (candidate-generation miss)? true audio Jaccard per missed pair
+      val jac = udf((x: Array[Long], y: Array[Long]) =>
+        graft.operators.PairVerifier.jaccardLongJvm(x, y))
+      val ash = res.signatures.select(col("clip_id"), col("ashingles"))
+      val missJ = missed
+        .join(ash.select(col("clip_id").as("a"), col("ashingles").as("_xa")), "a")
+        .join(ash.select(col("clip_id").as("b"), col("ashingles").as("_xb")), "b")
+        .select(jac(col("_xa"), col("_xb")).as("j"))
+        .collect().map(_.getDouble(0)).sorted
+      if (missJ.nonEmpty) println(
+        f"[profile] missed-pair audio J: min ${missJ.head}%.3f  median ${missJ(missJ.length / 2)}%.3f  max ${missJ.last}%.3f  >=0.35: ${missJ.count(_ >= cfg.audioJaccardThreshold)}")
       spark.stop()
       return
     }
