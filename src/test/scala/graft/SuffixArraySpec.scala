@@ -116,6 +116,21 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("substringPairs: randomized stress — binary alphabet, heavy repetition, d=16 path") {
+    // minRun 24 forces d = 16 (not InitK) and a 2-window key with offsets
+    // (0, 8); alphabet-2 text maximizes repeated grams and rank-class ties
+    val minRun = 24
+    val docs = (0L until 100L).map(i => (i, randText(60 + rng.nextInt(180), alpha = 2)))
+    val got = SuffixArray.substringPairs(docs.toDF("doc_id", "t"), "doc_id", "t", minRun)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      if ContainmentJoin.longestCommonRunJvm(ta, tb) >= minRun
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "stress fixture planted no shared runs — resize it")
+    assert(got == want)
+  }
+
   test("substringPairs == winnowing containment pairs (independent backends)") {
     val cfg = DedupConfig.default.copy(containmentMaxBucket = Int.MaxValue)
     val minRun = cfg.containmentMinRun
