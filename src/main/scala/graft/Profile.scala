@@ -403,6 +403,61 @@ object Profile {
       return
     }
 
+    if (args.length > 2 && args(2) == "floor") {
+      // Serial-floor attribution: the probe leg's shape (AQE off, coalescing
+      // off, fixed shuffle partitions, metrics off) at a near-zero-work
+      // corpus, with a job-level timeline. The floor is what Amdahl charges
+      // against the scaling probe's raw efficiency; this prints where it
+      // lives: per-job wall (executor-side) vs the GAPS between jobs (pure
+      // driver planning/optimization/broadcast-build time).
+      spark.stop()
+      val parts = if (args.length > 3) args(3).toInt else 8
+      val s2 = SparkUtil.session(cores, "graft-floor", aqe = Some(false),
+        shufflePartitions = Some(parts), aqeCoalesce = Some(false))
+      final case class J(id: Int, desc: String, t0: Long, var t1: Long)
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+      s2.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val d = Option(e.properties).map(_.getProperty("callSite.short", "")).getOrElse("")
+          jobs.put(e.jobId, J(e.jobId, d, e.time, -1L)): Unit
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobs.get(e.jobId)).foreach(_.t1 = e.time)
+        }
+      })
+      val c2 = ClipCorpus.clips(s2, CorpusConfig(seed = 42L, n = n)).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c2.count()
+      // warm run (JIT/codegen), then the timed run — like the probe's JVM
+      // state after its first leg
+      DedupPipeline.run(s2, c2, cfg.copy(collectMetrics = false)).clusters.count()
+      s2.sharedState.cacheManager.clearCache()
+      s2.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      c2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c2.count()
+      Thread.sleep(300)
+      jobs.clear()
+      val t0 = System.nanoTime()
+      DedupPipeline.run(s2, c2, cfg.copy(collectMetrics = false)).clusters.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener drain
+      import scala.jdk.CollectionConverters._
+      val js = jobs.values.asScala.toSeq.sortBy(_.t0)
+      val sumJob = js.map(j => math.max(0L, j.t1 - j.t0)).sum / 1000.0
+      val gaps = (js.sliding(2).collect {
+        case Seq(a, b) => math.max(0L, b.t0 - a.t1)
+      }).sum / 1000.0
+      println(f"[profile] floor n=$n cores=$cores parts=$parts wall=$wall%.2f s jobs=${js.size} sum-job-wall=$sumJob%.2f s inter-job-gaps=$gaps%.2f s")
+      var prevEnd = js.headOption.map(_.t0).getOrElse(0L)
+      js.foreach { j =>
+        val gap = math.max(0L, j.t0 - prevEnd) / 1000.0
+        println(f"[profile]   job ${j.id}%3d gap $gap%6.3f s  wall ${math.max(0L, j.t1 - j.t0) / 1000.0}%6.3f s  ${j.desc}")
+        prevEnd = math.max(prevEnd, j.t1)
+      }
+      s2.stop()
+      return
+    }
+
     if (args.length > 2 && args(2) == "full") {
       // job-level wall times + task-time sums: where serial/driver time hides.
       // Per stage: wall, executor run time, CPU time, GC time, call site —
