@@ -340,6 +340,63 @@ object Profile {
       return
     }
 
+    if (args.length > 2 && args(2) == "skew") {
+      // hot-band straggler A/B: `hot` ids share band 0's minima (a silence
+      // band / boilerplate transcript) while every other band value is
+      // random — ONE kept bucket of size `hot` under the 2000 cap, whose
+      // in-place expansion is hot^2/2 pairs generated by the single task
+      // that aggregated the bucket. The salted path (cfg.lshSaltChunk) must
+      // emit the same pairs with per-task generation bounded by chunk^2.
+      // Usage: runMain graft.Profile [nBackground] [cores] skew [hotSize] [nHotGroups]
+      // nHotGroups > 1 models the REAL at-scale pathology: many hot bands
+      // hash onto few aggregation tasks and their quadratic expansions STACK
+      // per task; salting spreads the stacked work uniformly.
+      val hot = if (args.length > 3) args(3).toInt else 1800
+      val nHot = if (args.length > 4) args(4).toInt else 1
+      val P = cfg.numPerms
+      val grp = floor((col("id") - n) / lit(hot)).cast("long")
+      val sigsDf = spark.range(n + hot.toLong * nHot).select(
+          format_string("c%08d", col("id")).as("clip_id"),
+          transform(sequence(lit(0), lit(P - 1)), p =>
+            when(col("id") >= n && p < lit(cfg.rowsPerBand),
+              xxhash64(concat(lit("hot"), grp), p))
+            .otherwise(xxhash64(col("id"), p))).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("skew-sigs")(sigsDf.count())
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          nTasks.incrementAndGet()
+          maxTaskMs.getAndUpdate(m => math.max(m, e.taskInfo.duration)): Unit
+        }
+      })
+      def runCase(name: String, chunk: Int): Long = {
+        maxTaskMs.set(0); nTasks.set(0)
+        val (pairs, _) = LshCandidates.fusedCandidatePairs(
+          Seq(("text", sigsDf, cfg.bands, cfg.rowsPerBand)),
+          "clip_id", cfg.maxBucketSize, chunk)
+        val t0 = System.nanoTime()
+        val np = pairs.count()
+        val w = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener bus drain
+        println(f"[profile] skew-$name%-8s pairs=$np%-9d wall=$w%6.2f s  " +
+          f"max-task=${maxTaskMs.get / 1000.0}%6.2f s  tasks=${nTasks.get}")
+        np
+      }
+      // alternate, 2 reps each: rep 1 is cold (corpus cache warm already),
+      // rep 2 is the comparable number
+      var nInPlace = 0L; var nSalted = 0L
+      (1 to 2).foreach { _ =>
+        nInPlace = runCase("inplace", Int.MaxValue)
+        nSalted = runCase("salted", cfg.lshSaltChunk)
+      }
+      require(nInPlace == nSalted,
+        s"salted expansion changed the pair set: $nInPlace != $nSalted")
+      spark.stop()
+      return
+    }
+
     if (args.length > 2 && args(2) == "merge") {
       // incremental-path latency vs store size: initialize an n-clip store,
       // then merge a 1% delta, re-merge it (no-op), and search 100 probes.
@@ -513,7 +570,7 @@ object Profile {
         .select(col("clip_id"), col("tsig").as("sig")), cfg.bands, cfg.rowsPerBand),
       ("audio", sigs.filter(col("asig").isNotNull)
         .select(col("clip_id"), col("asig").as("sig")), cfg.audioBands, cfg.audioRowsPerBand)),
-      "clip_id", cfg.maxBucketSize)
+      "clip_id", cfg.maxBucketSize, cfg.lshSaltChunk)
     val candsP = cands.persist(MEMORY_AND_DISK)
     time("fused-candidates")(candsP.count())
     val tCands = candsP.filter(col("modality") === "text").select("a", "b")

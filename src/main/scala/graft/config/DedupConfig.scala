@@ -52,6 +52,12 @@ final case class DedupConfig(
     containmentMinRun: Int = 70,
     // skew guards — "no silent caps": dropped buckets are counted in metrics
     maxBucketSize: Int = 2000,
+    // salted repartitioning for hot (kept) LSH buckets: buckets larger than
+    // this expand their pairs through a chunked salt shuffle so no single
+    // task generates more than lshSaltChunk^2 pairs (a cap-sized bucket
+    // expanded in place is ~2M pairs in one straggler task); buckets at or
+    // below it expand in place with no extra shuffle
+    lshSaltChunk: Int = 256,
     // containment fingerprint buckets cap out far lower: a fingerprint shared
     // by dozens of documents is boilerplate/template text (shorter than
     // minRun, or mass duplication the exact/minhash paths already catch),

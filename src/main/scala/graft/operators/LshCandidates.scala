@@ -68,12 +68,29 @@ object LshCandidates {
    * modality, which matters because driver/stage overhead is the serial term
    * in the scaling budget.
    *
+   * Hot kept buckets (size in (saltChunk, maxBucketSize]) expand through a
+   * SALTED repartition instead of in place: a bucket at the 2000 cap is ~2M
+   * generated pairs, and the in-place nested generator runs them all inside
+   * the one task that aggregated the bucket — a straggler whose length is set
+   * by the hottest band, not the average. The salted path sorts the member
+   * list, splits it into saltChunk-sized chunks, explodes the chunk-index
+   * pairs (i <= j) as rows, hash-repartitions those rows on (bucket, i, j) —
+   * the salt — and only then expands ids, so no task generates more than
+   * saltChunk^2 pairs no matter how hot the band. Output pairs are identical
+   * to the in-place expansion (sorted chunks make i < j imply a < b; i == j
+   * keeps the a < b filter); buckets at or below saltChunk skip the extra
+   * shuffle entirely, so the salt costs nothing when there is no skew.
+   *
    * @param modalities (tag, sigCol DataFrame(id, sig), bands, rowsPerBand)
+   * @param saltChunk per-task pair-expansion bound (chunk size of the salted
+   *        path); pairs-per-task <= saltChunk^2
    * @return (candidates (a, b, modality), droppedBuckets (modality, band,
    *         bandVal, bucketSize))
    */
   def fusedCandidatePairs(modalities: Seq[(String, DataFrame, Int, Int)],
-                          idCol: String, maxBucketSize: Int): (DataFrame, DataFrame) = {
+                          idCol: String, maxBucketSize: Int,
+                          saltChunk: Int = 256): (DataFrame, DataFrame) = {
+    require(saltChunk > 0, "saltChunk must be positive")
     val keys = modalities.map { case (tag, sigs, bands, rows) =>
       bandKeysHashed(sigs, idCol, bands, rows).select(
         col(idCol), lit(tag).as("modality"), col("band"), col("bandVal"))
@@ -93,12 +110,52 @@ object LshCandidates {
         col("g.ids").as("ids"), col("g.n").as("bucketSize"))
       .filter(col("bucketSize") > 1)
     val dropped = buckets.filter(col("bucketSize") > maxBucketSize)
-    val pairs = buckets.filter(col("bucketSize") <= maxBucketSize)
+    val kept = buckets.filter(col("bucketSize") <= maxBucketSize)
+    val direct = kept.filter(col("bucketSize") <= saltChunk)
       .select(col("modality"), col("ids"), explode(col("ids")).as("a"))
       .select(col("modality"), col("a"),
         explode(filter(col("ids"), x => x > col("a"))).as("b"))
       .select("a", "b", "modality")
-      .dropDuplicates("a", "b", "modality")
+    val salted = {
+      val c = saltChunk
+      // ceil(n/c) chunks of the SORTED member list; rows stay tiny (k rows of
+      // <= 2c ids per hot bucket) until after the salting shuffle
+      val chunked = kept.filter(col("bucketSize") > saltChunk)
+        .select(col("modality"), col("band"), col("bandVal"),
+          array_sort(col("ids")).as("ids"))
+        .select(col("modality"), col("band"), col("bandVal"),
+          transform(
+            sequence(lit(0), floor((size(col("ids")) - 1) / lit(c)).cast("int")),
+            i => slice(col("ids"), i * c + 1, lit(c))).as("chunks"))
+      chunked
+        .select(col("modality"), col("band"), col("bandVal"), col("chunks"),
+          explode(sequence(lit(0), size(col("chunks")) - 1)).as("i"))
+        .select(col("modality"), col("band"), col("bandVal"), col("i"),
+          element_at(col("chunks"), col("i") + 1).as("ca"), col("chunks"),
+          explode(sequence(col("i"), size(col("chunks")) - 1)).as("j"))
+        .select(col("modality"), col("band"), col("bandVal"), col("i"), col("j"),
+          col("ca"), element_at(col("chunks"), col("j") + 1).as("cb"))
+        // the salt: spread one hot bucket's chunk-pair cells across the
+        // cluster before expansion. The partition count is EXPLICIT (the
+        // session's shuffle-partition parallelism knob): a cell is a few KB
+        // before expansion and up to saltChunk^2 pairs after, and AQE's
+        // coalescing sees only the pre-expansion bytes — without the explicit
+        // count it merges every cell back into one task and undoes the salt
+        // (measured: salted max-task 17 s ~= the in-place straggler). An
+        // explicit-count repartition is exempt from AQE coalescing, and
+        // hashing on (bucket, i, j) spreads cells uniformly, so per-task work
+        // is ~totalPairs/partitions regardless of how hot any one band is.
+        .repartition(
+          chunked.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("modality"), col("band"), col("bandVal"), col("i"), col("j"))
+        .select(col("modality"), col("cb"), (col("i") === col("j")).as("sameChunk"),
+          explode(col("ca")).as("a"))
+        .select(col("modality"), col("a"),
+          explode(when(col("sameChunk"), filter(col("cb"), x => x > col("a")))
+            .otherwise(col("cb"))).as("b"))
+        .select("a", "b", "modality")
+    }
+    val pairs = direct.unionByName(salted).dropDuplicates("a", "b", "modality")
     (pairs, dropped.select(col("modality"), col("band"), col("bandVal"), col("bucketSize")))
   }
 

@@ -180,7 +180,7 @@ object DedupPipeline {
         .select(col("clip_id"), col("tsig").as("sig")), cfg.bands, cfg.rowsPerBand),
       ("audio", repSigs.filter(col("asig").isNotNull)
         .select(col("clip_id"), col("asig").as("sig")), cfg.audioBands, cfg.audioRowsPerBand)),
-      "clip_id", cfg.maxBucketSize)
+      "clip_id", cfg.maxBucketSize, cfg.lshSaltChunk)
     // checkpointCut (cache + LINEAGE CUT, see SparkUtil): the banded
     // self-join is ~25% of the whole run's task time and BOTH verify
     // branches consume it — uncached, each branch recomputes the

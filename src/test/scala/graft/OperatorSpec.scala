@@ -245,4 +245,28 @@ class OperatorSpec extends SparkSpec {
     // both paths drop the same number of oversized buckets
     assert(fusedDropped.count() == refDropped.count())
   }
+
+  test("salted hot-bucket expansion emits exactly the in-place pairs") {
+    // a deliberately hot KEPT band bucket: 60 ids share one signature (cap
+    // 100 keeps it), plus a small bucket that stays on the in-place path.
+    // saltChunk=7 forces the chunked salt shuffle (ceil(60/7)=9 chunks, 45
+    // chunk-pair cells, <= 49 pairs generated per cell — the per-task bound
+    // that makes a cap-sized bucket a set of uniform tasks instead of one
+    // quadratic straggler).
+    val hot = (0 until 60).map(i => (f"h$i%03d", Array.fill(8)(7L)))
+    val small = (0 until 4).map(i => (f"s$i%03d", Array.fill(8)(11L)))
+    val sigs = (hot ++ small).toDF("clip_id", "sig")
+    def run(chunk: Int) = graft.operators.LshCandidates.fusedCandidatePairs(
+      Seq(("m", sigs, 4, 2)), "clip_id", 100, saltChunk = chunk)
+    val (saltedPairs, saltedDropped) = run(7)
+    val (plainPairs, _) = run(Int.MaxValue)
+    val s = saltedPairs.select("a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val p = plainPairs.select("a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(s == p)
+    assert(s.size == 60 * 59 / 2 + 4 * 3 / 2) // exact all-pairs per bucket
+    assert(s.forall { case (a, b) => a < b })  // orientation survives salting
+    assert(saltedDropped.count() == 0)
+  }
 }
