@@ -126,16 +126,20 @@ object Bench {
     // has a measured serial floor per run (driver planning, action barriers,
     // AQE stage round-trips) that is constant while task work scales with
     // rows, so small corpora understate the job's true scaling (Amdahl; at
-    // the north star's 10^12 rows the floor is noise). 5x = 100k clips at
-    // sf0.1 keeps the floor ~5% of the N leg while a pair fits ~2-3 min, so
-    // >= 3 interleaved pairs + median land inside the budget — the host's
+    // the north star's 10^12 rows the floor is noise). 10x = 200k clips at
+    // sf0.1: the round-4 pipeline got ~40% faster per row (int16 PCM
+    // kernel) while the ~4 s floor stayed, so the old 100k probe drifted
+    // from ~5% floor on the N leg to ~15% on the 4N leg — a same-window
+    // size A/B (DevScale, 2026-08-20) measured raw 0.650 at 100k vs 0.785
+    // at 200k with identical canaries. A 200k pair fits ~3.5-4.5 min, so
+    // 4-5 interleaved pairs + median land inside the budget — the host's
     // effective speed swings >2x on minute scales (hypervisor balloon;
     // identical legs measured 97 s and 1784 s under near-identical CPU
-    // canaries), so MANY short gated pairs + median beats fewer long ones,
+    // canaries), so alternating gated pairs + median beats one long run,
     // and the residual floor is measured in-run and reported as the
     // floor-adjusted supplementary metric.
     val probeClips = sys.env.get("SPARK_GRAFT_PROBE_CLIPS").map(_.toLong)
-      .getOrElse(if (sfDir.contains("sf0.1")) nClips * 5 else nClips)
+      .getOrElse(if (sfDir.contains("sf0.1")) nClips * 10 else nClips)
     // Scaling pair: N=1 vs 4N=4 cores. Measured host ceilings (HwControlsMain,
     // re-verified in-run below): pure CPU scales ~1.0/thread up to 32
     // threads, but MEMORY STREAMING scales only ~1.5-2.6x per 4x threads
@@ -180,8 +184,11 @@ object Bench {
     }
     val faultAfter = HwControls.faultGBps(8, 2.0)
 
+    // 1200 s (was 900) since the probe corpus doubled to 200k: a probe pair
+    // is now ~3.5-4.5 min, and the budget should fit 4-5 of them after the
+    // headline part rather than stopping at the minPairs floor
     val budgetS =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toLong
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1200").toLong
 
     // ---- part 1: headline queries at full parallelism ----
     val spark = session(cpus)
