@@ -475,7 +475,14 @@ object Profile {
       val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
       s2.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          val d = Option(e.properties).map(_.getProperty("callSite.short", "")).getOrElse("")
+          // name the job by its stages' graft call sites (callSite.short is
+          // empty for jobs launched from Spark's exchange threads)
+          val d0 = e.stageInfos.flatMap(_.details.split("\n")
+              .find(l => l.contains("graft.") && !l.contains("Profile")))
+            .map(_.trim.take(70)).distinct.mkString(" | ")
+          val d = if (d0.nonEmpty) d0
+            else e.stageInfos.map(si => si.name.split("\n")(0).take(70))
+              .distinct.mkString(" | ")
           jobs.put(e.jobId, J(e.jobId, d, e.time, -1L)): Unit
         }
         override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
