@@ -269,4 +269,36 @@ class OperatorSpec extends SparkSpec {
     assert(s.forall { case (a, b) => a < b })  // orientation survives salting
     assert(saltedDropped.count() == 0)
   }
+
+  test("salted expansion keeps its explicit task width under AQE") {
+    // regression for the pitfall that silently undid the salt: a count-less
+    // repartition(cols) before the quadratic expansion gets AQE-coalesced
+    // back into ONE task, because coalescing sees only the few-KB
+    // pre-expansion cell bytes. The fix pins the salted shuffle to the
+    // session's shuffle-partition count, which AQE never coalesces. This
+    // asserts the BEHAVIOR (a stage actually runs at the configured width
+    // in this AQE-on session) rather than inspecting plan strings: every
+    // other stage here is 4 input tasks or AQE-coalesced to ~1, so a stage
+    // at width 8 can only be the pinned salted exchange.
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(width == 8) // the discrimination below assumes the test session
+    val maxTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        maxTasks.getAndUpdate(m => math.max(m, e.stageInfo.numTasks)): Unit
+      }
+    }
+    val hot = (0 until 60).map(i => (f"h$i%03d", Array.fill(8)(7L)))
+    val sigs = hot.toDF("clip_id", "sig")
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val (pairs, _) = graft.operators.LshCandidates.fusedCandidatePairs(
+        Seq(("m", sigs, 4, 2)), "clip_id", 100, saltChunk = 7)
+      assert(pairs.count() == 60L * 59 / 2)
+      Thread.sleep(500) // listener bus drain
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(maxTasks.get >= width,
+      s"salted expansion ran at width ${maxTasks.get} — AQE coalesced the salt away")
+  }
 }
