@@ -75,15 +75,18 @@ object LshCandidates {
    * by the hottest band, not the average. The salted path sorts the member
    * list, splits it into saltChunk-sized chunks, explodes the chunk-index
    * pairs (i <= j) as rows, hash-repartitions those rows on (bucket, i, j) —
-   * the salt — and only then expands ids, so no task generates more than
-   * saltChunk^2 pairs no matter how hot the band. Output pairs are identical
+   * the salt — and only then expands ids, so no single CELL expands more
+   * than saltChunk^2 pairs and per-task work is ~totalPairs/shufflePartitions
+   * (cells hash uniformly over the explicit partition count) no matter how
+   * hot any one band is. Output pairs are identical
    * to the in-place expansion (sorted chunks make i < j imply a < b; i == j
    * keeps the a < b filter); buckets at or below saltChunk skip the extra
    * shuffle entirely, so the salt costs nothing when there is no skew.
    *
    * @param modalities (tag, sigCol DataFrame(id, sig), bands, rowsPerBand)
-   * @param saltChunk per-task pair-expansion bound (chunk size of the salted
-   *        path); pairs-per-task <= saltChunk^2
+   * @param saltChunk chunk size of the salted path; bounds the pair expansion
+   *        of one chunk-pair cell at saltChunk^2 (per-task work is then
+   *        ~totalPairs/shufflePartitions, the hash-spread of those cells)
    * @return (candidates (a, b, modality), droppedBuckets (modality, band,
    *         bandVal, bucketSize))
    */
@@ -146,7 +149,11 @@ object LshCandidates {
         // hashing on (bucket, i, j) spreads cells uniformly, so per-task work
         // is ~totalPairs/partitions regardless of how hot any one band is.
         .repartition(
-          chunked.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+          // robust to platforms that set this conf to a non-integer value
+          // like "auto": fall back to the cluster's default parallelism
+          chunked.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            .toIntOption
+            .getOrElse(chunked.sparkSession.sparkContext.defaultParallelism),
           col("modality"), col("band"), col("bandVal"), col("i"), col("j"))
         .select(col("modality"), col("cb"), (col("i") === col("j")).as("sameChunk"),
           explode(col("ca")).as("a"))

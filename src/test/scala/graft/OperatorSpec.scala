@@ -282,11 +282,11 @@ class OperatorSpec extends SparkSpec {
     // at width 8 can only be the pinned salted exchange.
     val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
     assert(width == 8) // the discrimination below assumes the test session
-    val maxTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val widths = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onStageSubmitted(
           e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
-        maxTasks.getAndUpdate(m => math.max(m, e.stageInfo.numTasks)): Unit
+        widths.add(e.stageInfo.numTasks): Unit
       }
     }
     val hot = (0 until 60).map(i => (f"h$i%03d", Array.fill(8)(7L)))
@@ -298,7 +298,15 @@ class OperatorSpec extends SparkSpec {
       assert(pairs.count() == 60L * 59 / 2)
       Thread.sleep(500) // listener bus drain
     } finally spark.sparkContext.removeSparkListener(l)
-    assert(maxTasks.get >= width,
-      s"salted expansion ran at width ${maxTasks.get} — AQE coalesced the salt away")
+    val ws = widths.toArray(Array.empty[Integer]).map(_.intValue).toSeq
+    assert(ws.exists(_ >= width),
+      s"salted expansion ran at widths $ws — AQE coalesced the salt away")
+    // isolate the salted exchange: in this AQE-on session every OTHER stage
+    // is an input read (<= 4 tasks) or AQE-coalesced (~1 task), so the pinned
+    // salted repartition must be the ONLY stage at the configured width —
+    // if coalescing thresholds ever change and some unrelated shuffle runs
+    // uncoalesced at 8, this count catches the discrimination going stale
+    assert(ws.count(_ >= width) == 1,
+      s"expected exactly one full-width stage (the pinned salt), got $ws")
   }
 }
