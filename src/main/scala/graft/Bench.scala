@@ -211,12 +211,22 @@ object Bench {
         math.min(t1, dedupSeconds(spark, nClips))
       } else t1
     } catch { case e: Throwable => System.err.println(s"[bench] dedup: $e"); Double.NaN }
+    // each headline query runs TWICE, min taken (disclosed as
+    // headline_query_reps): the first execution of a query's plan pays
+    // Janino/JVM-JIT compilation of codegen stages that no other query
+    // warmed — measured 40.9 s cold vs 3.2 s warm for q_ann_nsw on a
+    // HEALTHY window (canaries clean), i.e. the one-shot record measured
+    // the JIT, not the engine. The flagship above already warms + min-2s.
+    val headlineQueryReps = 2
     val results = ("clip_dedup_clusters" -> (if (tFull.isNaN) -1.0 else tFull)) +:
       headline.filter(qmap.contains).map { name =>
-        val t0 = System.nanoTime()
-        val ok = try { qmap(name)(spark, sfDir).count(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val ts = (1 to headlineQueryReps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { qmap(name)(spark, sfDir).count(); true }
+            catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
       }
     // stage the probe corpus ONCE at full parallelism; probe legs table-scan
     // it (re-synthesizing per leg cost minutes of budget at 1-2 cores)
@@ -403,6 +413,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","clips":$nClips,"headline_reps":$headlineReps,""" +
+        s""""headline_query_reps":$headlineQueryReps,""" +
         f""""clips_per_sec":$cps%.1f,"full_cores":$cpus,"scaling":$scaling}""")
   }
 }

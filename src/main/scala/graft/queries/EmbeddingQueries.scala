@@ -254,13 +254,18 @@ object EmbeddingQueries {
       .repartition(vecs.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("src"), col("embedding").as("se"), col("n2").as("sn"))
     val r = vecs.select(col("vec_id").as("nbr"), col("embedding").as("ne"), col("n2").as("nn"))
+    // top-m per source via the capped aggregator, not a window: a window
+    // would shuffle the full O(N²) scored relation just to keep m rows per
+    // source, where the aggregator's map-side partial combine ships at most
+    // m candidates per (source, mapper). Same (c desc, nbr asc) total order
+    // — the edge set is bit-identical (spec-pinned in EvalSpec).
     l.join(r, col("src") =!= col("nbr"))
       .select(col("src"), col("nbr"),
         cosine(col("se"), col("sn"), col("ne"), col("nn")).as("c"))
-      .withColumn("nrk", row_number().over(
-        Window.partitionBy("src").orderBy(col("c").desc, col("nbr"))))
-      .filter(col("nrk") <= m)
-      .select("src", "nbr")
+      .groupBy("src")
+      .agg(graft.functions.TopNeighbors
+        .topNeighbors(m)(col("nbr"), col("c")).as("g"))
+      .select(col("src"), explode(col("g.ids")).as("nbr"))
   }
 
   /**
@@ -292,15 +297,19 @@ object EmbeddingQueries {
     val members = assign.filter(col("crk") === 1).join(vecs, "vec_id")
       .select(col("vec_id").as("nbr"), col("embedding").as("ne"),
         col("n2").as("nn"), col("cid"))
+    // capped top-m aggregation instead of dropDuplicates + window: ONE
+    // shuffle of <= m candidates per (source, mapper) replaces two full
+    // shuffles of the ~N·nprobe·bucket joined relation. A pair meeting in
+    // several probe buckets carries the same deterministic score, so the
+    // aggregator's fold-by-id reproduces dropDuplicates exactly.
     srcs.join(members, Seq("cid"))
       .filter(col("src") =!= col("nbr"))
       .select(col("src"), col("nbr"),
         cosine(col("se"), col("sn"), col("ne"), col("nn")).as("c"))
-      .dropDuplicates("src", "nbr") // a pair can meet in up to nprobe buckets
-      .withColumn("nrk", row_number().over(
-        Window.partitionBy("src").orderBy(col("c").desc, col("nbr"))))
-      .filter(col("nrk") <= m)
-      .select("src", "nbr")
+      .groupBy("src")
+      .agg(graft.functions.TopNeighbors
+        .topNeighbors(m)(col("nbr"), col("c")).as("g"))
+      .select(col("src"), explode(col("g.ids")).as("nbr"))
   }
 
   /** Navigable-graph top-k search (see block comment above). Pass a

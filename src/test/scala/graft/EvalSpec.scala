@@ -81,6 +81,68 @@ class EvalSpec extends SparkSpec {
     vecs.unpersist(); qrels.unpersist(); kmCents.unpersist()
   }
 
+  test("kNN-graph builds: capped top-m aggregation == window ranking, bit-identical") {
+    import EmbeddingQueries._
+    // the graph builds select top-m with TopNeighbors (shuffle = N·m rows)
+    // instead of a window over the full scored relation; this pins the edge
+    // sets as IDENTICAL on both the exact and the bucketed build, including
+    // the bucketed build's duplicate-fold (a pair meeting in several probe
+    // buckets) replacing dropDuplicates
+    val vecs = EmbeddingQueries.vectors(spark, dir)
+      .filter(col("vec_id") < 300)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // window-ranked reference forms, built inline
+    def cosJoined(l: org.apache.spark.sql.DataFrame,
+                  r: org.apache.spark.sql.DataFrame) =
+      l.join(r, col("src") =!= col("nbr"))
+        .select(col("src"), col("nbr"),
+          (aggregate(zip_with(col("se"), col("ne"),
+            (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x)
+            / (sqrt(col("sn")) * sqrt(col("nn")))).as("c"))
+    def windowTop(scored: org.apache.spark.sql.DataFrame, m: Int) =
+      scored.withColumn("nrk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy(col("c").desc, col("nbr"))))
+        .filter(col("nrk") <= m).select("src", "nbr")
+    val l = vecs.select(col("vec_id").as("src"), col("embedding").as("se"), col("n2").as("sn"))
+    val r = vecs.select(col("vec_id").as("nbr"), col("embedding").as("ne"), col("n2").as("nn"))
+    assert(edges(knnGraph(vecs, NswM)) == edges(windowTop(cosJoined(l, r), NswM)))
+    // bucketed: same parity, with the window form needing an explicit
+    // dropDuplicates the aggregator folds internally
+    val cents = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn"))
+    val assign = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (aggregate(zip_with(col("embedding"), col("ce"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+          / (sqrt(col("n2")) * sqrt(col("cn")))).as("ccos"))
+      .withColumn("crk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("crk") <= 2).select("vec_id", "cid", "crk")
+    val srcs = assign.join(vecs, "vec_id")
+      .select(col("vec_id").as("src"), col("embedding").as("se"),
+        col("n2").as("sn"), col("cid"))
+    val members = assign.filter(col("crk") === 1).join(vecs, "vec_id")
+      .select(col("vec_id").as("nbr"), col("embedding").as("ne"),
+        col("n2").as("nn"), col("cid"))
+    val scoredB = srcs.join(members, Seq("cid")).filter(col("src") =!= col("nbr"))
+      .select(col("src"), col("nbr"),
+        (aggregate(zip_with(col("se"), col("ne"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+          / (sqrt(col("sn")) * sqrt(col("nn")))).as("c"))
+      .dropDuplicates("src", "nbr")
+    assert(edges(knnGraphBucketed(vecs, NswM, cents, nprobe = 2))
+      == edges(windowTop(scoredB, NswM)))
+    vecs.unpersist()
+  }
+
   test("NSW graph search recall@k is graded vs exact and rises with ef") {
     import EmbeddingQueries._
     val vecs = EmbeddingQueries.vectors(spark, dir)
