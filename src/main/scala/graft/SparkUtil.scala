@@ -26,9 +26,19 @@ object SparkUtil {
     * cache manager and leak across jobs (measured ~2x eviction-churn CPU on
     * later jobs); the returned thunk reaches into the LogicalRDD and frees
     * them, restoring persist/unpersist discipline. */
-  def checkpointCut(df: org.apache.spark.sql.DataFrame)
+  /** `eager = false` defers COMPUTE only: localCheckpoint bakes the physical
+    * plan into a LogicalRDD leaf at call time either way, so the plan/lineage
+    * cut above is identical — but a lazy cut materializes inside whichever
+    * downstream ACTION first demands it, instead of in its own blocking
+    * driver round-trip. Chaining several pipeline layers with lazy cuts
+    * collapses their serial action chain into ONE job whose independent
+    * branches the scheduler overlaps — a direct cut to the per-run serial
+    * floor that Amdahl charges against cluster scaling. Within that one job
+    * the checkpoint RDD is a single object, so its partitions compute once
+    * (cache semantics) no matter how many join sides reference it. */
+  def checkpointCut(df: org.apache.spark.sql.DataFrame, eager: Boolean = true)
       : (org.apache.spark.sql.DataFrame, () => Unit) = {
-    val cp = df.localCheckpoint(eager = true)
+    val cp = df.localCheckpoint(eager = eager)
     val rdd = cp.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }

@@ -212,13 +212,28 @@ object DedupPipeline {
     // persisted: verify's endpoint semi-join reads its pair input multiple
     // times (ids + both sides), and unpersisted that would recompute the
     // screen chain each read. Rows are (a, b) pairs — tiny.
-    val (aPlausible, freeAPlausible) = graft.SparkUtil.checkpointCut(
-      PairVerifier.estimateScreen(aCands, sigs, "clip_id", "asig",
-        cfg.audioEstimateMin))
-    val (audioScreened, freeAudioScreened) = graft.SparkUtil.checkpointCut(
-      PairVerifier.verify(aPlausible, sigs, "clip_id", "ashingles",
-        cfg.audioJaccardThreshold, "audio_minhash"))
-    val audioPairs = PairVerifier.pcmConfirm(audioScreened, cachedClips, "clip_id", cfg.pcmCorrMin)
+    //
+    // The audio chain (estimate screen -> exact-Jaccard verify) is TWO
+    // serial driver actions by construction; the text/containment/exact
+    // branch is independent of it until the final union. Running the two
+    // chains on separate driver threads overlaps their jobs in the
+    // scheduler — measured (Profile … floor) as a direct cut to the per-run
+    // serial floor the N-vs-4N probe charges against scaling; the thread
+    // pool is driver-side only and every cut stays EAGER (a lazy cut here
+    // lets concurrent broadcast subtrees thundering-herd recompute the
+    // uncached plan — measured +50% sum-job-wall).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val fAudio = scala.concurrent.Future {
+      val (aPlausible, freeAPlausible) = graft.SparkUtil.checkpointCut(
+        PairVerifier.estimateScreen(aCands, sigs, "clip_id", "asig",
+          cfg.audioEstimateMin))
+      val (audioScreened, freeAudioScreened) = graft.SparkUtil.checkpointCut(
+        PairVerifier.verify(aPlausible, sigs, "clip_id", "ashingles",
+          cfg.audioJaccardThreshold, "audio_minhash"))
+      (audioScreened, freeAPlausible, freeAudioScreened)
+    }
 
     // (d) containment: long verbatim transcript runs (>= cfg.containmentMinRun);
     //     default = winnowing screen + exact verify (fingerprints precomputed
@@ -238,14 +253,29 @@ object DedupPipeline {
     val containPairs = containBase
       .select(col("a"), col("b"), lit(0.9).as("score"), lit("containment").as("method"))
 
+    // the text/containment/exact branch materializes CONCURRENTLY with the
+    // audio chain above; pairs rows are tiny (a, b, score, method)
+    val fTextish = scala.concurrent.Future {
+      graft.SparkUtil.checkpointCut(exactPairs
+        .unionByName(textPairs).unionByName(containPairs))
+    }
+    val (audioScreened, freeAPlausible, freeAudioScreened) =
+      scala.concurrent.Await.result(fAudio, scala.concurrent.duration.Duration.Inf)
+    val (textishPairs, freeTextish) =
+      scala.concurrent.Await.result(fTextish, scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    val audioPairs = PairVerifier.pcmConfirm(audioScreened, cachedClips, "clip_id", cfg.pcmCorrMin)
+
     // checkpointCut, not persist: freeing the upstream hub checkpoints below
     // is only safe once NOTHING can recompute through them — a persisted-but
     // -evictable dupPairs cache would re-derive through freed checkpoint
     // blocks (observed: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in clusters.count
     // after an eviction). The eager checkpoint materializes every branch and
     // severs that lineage; it is the blocks the RETURNED result holds.
-    val (dupPairs, _) = graft.SparkUtil.checkpointCut(exactPairs
-      .unionByName(textPairs).unionByName(audioPairs).unionByName(containPairs)
+    // dropDuplicates runs over the full union exactly as before the
+    // two-thread split: same rows in, same pairs out.
+    val (dupPairs, _) = graft.SparkUtil.checkpointCut(textishPairs
+      .unionByName(audioPairs)
       .dropDuplicates("a", "b"))
     val nPairs = dupPairs.count()
     if (cfg.collectMetrics) {
@@ -277,6 +307,7 @@ object DedupPipeline {
     freeAudioScreened()
     freeAPlausible()
     freeCands()
+    freeTextish()
     val nKept = if (cfg.maxPairs > 0) math.min(nPairs, cfg.maxPairs) else nPairs
     val cappedPairs =
       if (cfg.maxPairs > 0 && nPairs > cfg.maxPairs) {
