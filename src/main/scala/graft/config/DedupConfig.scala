@@ -41,6 +41,19 @@ final case class DedupConfig(
     // the difference between O(pairs) and O(n^2) verify shuffle at 10^12.
     audioBands: Int = 32,
     audioRowsPerBand: Int = 4,
+    // OR'd audio band GROUPINGS (LshCandidates.bandKeysHashedGrouped): each
+    // stride re-partitions the same 128 perms into 32 fresh r=4 quads, so a
+    // near-dup pair gets bands*|strides| near-independent collision coins at
+    // the SAME S-curve steepness. Sized for the measured miss tail: at 100k
+    // clips all 63 recall misses sat in the b=32/r=4 S-curve's designed
+    // probabilistic zone (median true J ~ 0.449, P(miss) ~ 0.26 per link);
+    // three groupings cut that to ~(0.26)^3 ~ 0.018 per link, buying the
+    // >= 0.999 recall margin, while background candidate mass grows only
+    // LINEARLY (3x the r=4 background — a r=3 banding instead would grow it
+    // ~260x and resurrect the O(n^2) verify-shuffle term at 10^12 rows).
+    // Strides must be odd (coprime to numPerms); stride 1 = the original
+    // contiguous banding, so Seq(1) is the pre-grouping store layout.
+    audioBandGroupStrides: Seq[Int] = Seq(1, 33, 47),
     audioJaccardThreshold: Double = 0.35,
     // signature-estimate prefilter floor: >= 3.5 sigma below the 0.35 verify
     // threshold at P=128 (sigma ~ sqrt(.35*.65/128) ~ 0.042)
@@ -101,6 +114,10 @@ final case class DedupConfig(
   require(numPerms % bands == 0, "bands must divide numPerms")
   require(audioBands * audioRowsPerBand <= numPerms,
     "audio bands*rows must fit in numPerms")
+  require(audioBandGroupStrides.nonEmpty &&
+    audioBandGroupStrides.distinct == audioBandGroupStrides &&
+    audioBandGroupStrides.forall(s => s > 0 && s % 2 == 1),
+    "audioBandGroupStrides must be distinct positive odd ints")
   def rowsPerBand: Int = numPerms / bands
 
   /** 64-bit hash of every field the SIGNATURE columns depend on. Folded into

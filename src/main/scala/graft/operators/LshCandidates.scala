@@ -57,6 +57,47 @@ object LshCandidates {
       .select(col(idCol), col("_bk.band").as("band"), col("_bk.bandVal").as("bandVal"))
   }
 
+  /** Multi-GROUPING hashed band keys: `strides` independent ways of grouping
+    * the SAME P permutations into bands*rowsPerBand quads — an OR'd
+    * b*|strides| banding that keeps r (the S-curve steepness, and therefore
+    * the background-collision rate per band) FIXED. Grouping g assigns band
+    * j, row k the perm index ((j*r + k) * strides(g)) mod P; with each
+    * stride odd (coprime to P = a power of two) the map is a bijection, so
+    * every grouping is a PARTITION of all P perms into bands disjoint quads
+    * — bands overlap across groupings in at most ~r^2/P of their entries,
+    * making their collision coins near-independent. Band ids are offset by
+    * g*bands per grouping; stride 1 reproduces bandKeysHashed's keys exactly
+    * (same band ids, same hashes — spec-pinned), so existing stores are the
+    * strides=Seq(1) case.
+    *
+    * Why groupings instead of a lower-r second banding: the miss tail lives
+    * at J just below the S-curve midpoint, where each extra grouping
+    * multiplies P(miss) by (1-J^r)^bands (~0.26 at J=0.45 for b=32/r=4) —
+    * while a r=3 banding would multiply the BACKGROUND candidate mass ~260x
+    * (the O(n^2) term audioRowsPerBand=4 was chosen to kill; see
+    * DedupConfig). Extra groupings cost candidate mass linearly (G x the
+    * r=4 background), never quadratically. */
+  def bandKeysHashedGrouped(sigs: DataFrame, idCol: String, bands: Int,
+                            rowsPerBand: Int, numPerms: Int,
+                            strides: Seq[Int]): DataFrame = {
+    require(strides.nonEmpty && strides.distinct == strides,
+      s"strides must be non-empty and distinct, got $strides")
+    require(strides.forall(s => s > 0 && s % 2 == 1),
+      s"strides must be odd (coprime to the power-of-two perm count), got $strides")
+    val r = rowsPerBand
+    val entries = for {
+      g <- strides.indices
+      j <- 0 until bands
+    } yield {
+      val vals = (0 until r).map { k =>
+        element_at(col("sig"), ((j * r + k) * strides(g)) % numPerms + 1)
+      }
+      struct(lit(g * bands + j).as("band"), xxhash64(array(vals: _*)).as("bandVal"))
+    }
+    sigs.select(col(idCol), explode(array(entries: _*)).as("_bk"))
+      .select(col(idCol), col("_bk.band").as("band"), col("_bk.bandVal").as("bandVal"))
+  }
+
   def candidatePairs(sigs: DataFrame, idCol: String, cfg: DedupConfig): (DataFrame, DataFrame) =
     candidatePairs(sigs, idCol, cfg.bands, cfg.rowsPerBand, cfg.maxBucketSize)
 
@@ -92,11 +133,20 @@ object LshCandidates {
    */
   def fusedCandidatePairs(modalities: Seq[(String, DataFrame, Int, Int)],
                           idCol: String, maxBucketSize: Int,
-                          saltChunk: Int = 256): (DataFrame, DataFrame) = {
+                          saltChunk: Int = 256): (DataFrame, DataFrame) =
+    fusedCandidatePairsKeys(modalities.map { case (tag, sigs, bands, rows) =>
+      tag -> bandKeysHashed(sigs, idCol, bands, rows)
+    }, idCol, maxBucketSize, saltChunk)
+
+  /** As fusedCandidatePairs, from pre-built band-key relations
+    * (id, band, bandVal) per modality — the entry point for callers whose
+    * banding is not the single contiguous grouping (bandKeysHashedGrouped). */
+  def fusedCandidatePairsKeys(keyed: Seq[(String, DataFrame)],
+                              idCol: String, maxBucketSize: Int,
+                              saltChunk: Int = 256): (DataFrame, DataFrame) = {
     require(saltChunk > 0, "saltChunk must be positive")
-    val keys = modalities.map { case (tag, sigs, bands, rows) =>
-      bandKeysHashed(sigs, idCol, bands, rows).select(
-        col(idCol), lit(tag).as("modality"), col("band"), col("bandVal"))
+    val keys = keyed.map { case (tag, k) =>
+      k.select(col(idCol), lit(tag).as("modality"), col("band"), col("bandVal"))
     }.reduce(_ unionByName _)
     // ONE shuffle: gather each bucket's members, then expand pairs
     // executor-side via nested generators. The previous shape (groupBy count

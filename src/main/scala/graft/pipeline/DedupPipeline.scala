@@ -175,11 +175,19 @@ object DedupPipeline {
     // (b) LSH candidates for BOTH modalities in one fused banded self-join
     //     (half the candidate-stage count — stage/driver overhead is the
     //     serial term in the scaling budget)
-    val (cands0, dropped) = LshCandidates.fusedCandidatePairs(Seq(
-      ("text", repSigs.filter(col("tsig").isNotNull)
-        .select(col("clip_id"), col("tsig").as("sig")), cfg.bands, cfg.rowsPerBand),
-      ("audio", repSigs.filter(col("asig").isNotNull)
-        .select(col("clip_id"), col("asig").as("sig")), cfg.audioBands, cfg.audioRowsPerBand)),
+    val (cands0, dropped) = LshCandidates.fusedCandidatePairsKeys(Seq(
+      "text" -> LshCandidates.bandKeysHashed(
+        repSigs.filter(col("tsig").isNotNull)
+          .select(col("clip_id"), col("tsig").as("sig")),
+        "clip_id", cfg.bands, cfg.rowsPerBand),
+      // audio: the OR'd multi-grouping banding (recall margin — see
+      // DedupConfig.audioBandGroupStrides); the SAME keys the store's bands
+      // index carries (IncrementalDedup.bandRows), so merge == rebuild
+      "audio" -> LshCandidates.bandKeysHashedGrouped(
+        repSigs.filter(col("asig").isNotNull)
+          .select(col("clip_id"), col("asig").as("sig")),
+        "clip_id", cfg.audioBands, cfg.audioRowsPerBand, cfg.numPerms,
+        cfg.audioBandGroupStrides)),
       "clip_id", cfg.maxBucketSize, cfg.lshSaltChunk)
     // checkpointCut (cache + LINEAGE CUT, see SparkUtil): the banded
     // self-join is ~25% of the whole run's task time and BOTH verify

@@ -83,9 +83,10 @@ object IncrementalDedup {
         .select(col("clip_id"), col("tsig").as("sig")),
         "clip_id", cfg.bands, cfg.rowsPerBand)
       .select(col("clip_id"), lit("text").as("modality"), col("band"), col("bandVal"))
-    val a = LshCandidates.bandKeysHashed(sigs.filter(col("asig").isNotNull)
+    val a = LshCandidates.bandKeysHashedGrouped(sigs.filter(col("asig").isNotNull)
         .select(col("clip_id"), col("asig").as("sig")),
-        "clip_id", cfg.audioBands, cfg.audioRowsPerBand)
+        "clip_id", cfg.audioBands, cfg.audioRowsPerBand, cfg.numPerms,
+        cfg.audioBandGroupStrides)
       .select(col("clip_id"), lit("audio").as("modality"), col("band"), col("bandVal"))
     t.unionByName(a)
   }

@@ -246,6 +246,33 @@ class OperatorSpec extends SparkSpec {
     assert(fusedDropped.count() == refDropped.count())
   }
 
+  test("grouped band keys: stride 1 reproduces bandKeysHashed; groupings partition the perms") {
+    import graft.operators.LshCandidates
+    // stride-1 grouping must emit bit-identical (band, bandVal) keys to the
+    // contiguous banding — existing stores are the strides=Seq(1) case
+    val sigs = (0 until 20)
+      .map(i => (f"c$i%03d", Array.tabulate(128)(k => (i * 1315423911L + k * 2654435761L))))
+      .toDF("clip_id", "sig")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val plain = rows(LshCandidates.bandKeysHashed(sigs, "clip_id", 32, 4))
+    val g1 = rows(LshCandidates.bandKeysHashedGrouped(sigs, "clip_id", 32, 4, 128, Seq(1)))
+    assert(g1 == plain)
+    // each stride's 32 quads must partition all 128 perm indices (odd stride
+    // = bijection mod 128), and no band quad may repeat across groupings —
+    // repeated quads would be correlated coins, not extra OR'd chances
+    val strides = graft.config.DedupConfig.default.audioBandGroupStrides
+    val quads = strides.map { s =>
+      (0 until 32).map(j => (0 until 4).map(k => ((j * 4 + k) * s) % 128).toSet)
+    }
+    quads.foreach(q => assert(q.flatten.toSet == (0 until 128).toSet))
+    val all = quads.flatten
+    assert(all.distinct.size == all.size, "band quads repeat across groupings")
+    // grouped banding multiplies key rows by the grouping count
+    val g3 = LshCandidates.bandKeysHashedGrouped(sigs, "clip_id", 32, 4, 128, strides)
+    assert(g3.count() == 20L * 32 * strides.size)
+  }
+
   test("salted hot-bucket expansion emits exactly the in-place pairs") {
     // a deliberately hot KEPT band bucket: 60 ids share one signature (cap
     // 100 keeps it), plus a small bucket that stays on the in-place path.
