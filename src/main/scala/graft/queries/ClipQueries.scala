@@ -184,6 +184,56 @@ object ClipQueries {
     Some(s"""WITH $SigCte
       |SELECT clip_id, sha, t_hash FROM sig ORDER BY clip_id""".stripMargin))
 
+  /** The signature stage's MinHash construction end-to-end under PORTABLE
+    * hashes, hash-checked by DuckDB: the same word-n-gram shingle identity,
+    * the same perm coefficients (Hashing.permCoeffs — the pipeline's tsig
+    * coefficients, at its full numPerms=128), and the same min-fold, over
+    * the docClips transcripts (planted dup rows included) — with md5-derived
+    * gram hashes in place of the pipeline's rolling hash so DuckDB can
+    * rebuild every permutation minimum from raw text (the q_minhash_sigs
+    * portability argument, applied to the FLAGSHIP's own signature stage and
+    * corpus; ShingleSpec pins the two gram-hash paths to the same shingle-set
+    * structure, MinHashSpec pins the signature fold). */
+  val textSigs = QueryDef(
+    "clip_text_sigs",
+    (spark, dir) => {
+      import graft.functions.TextShingles
+      import graft.operators.MinHasher
+      val cfg = DedupConfig.default
+      docClips(spark, dir).select(col("clip_id"),
+        TextShingles.hashShingles(
+          TextShingles.wordShingles(col("transcript"), cfg.textLshWordNgram),
+          portable = true).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("clip_id"),
+          MinHasher.signatureUdf(cfg.numPerms, cfg.seed)(col("sh")).as("tsig"))
+        .select(col("clip_id"), posexplode(col("tsig")).as(Seq("perm", "minh")))
+        .select(col("clip_id"), col("perm").cast("long").as("perm"), col("minh"))
+        .orderBy("clip_id", "perm")
+    },
+    Some {
+      val cfg = DedupConfig.default
+      val n = cfg.textLshWordNgram
+      val coeffs = graft.functions.Hashing.permCoeffs(cfg.numPerms, cfg.seed)
+      val permRows = coeffs.zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      val gram = (0 until n).map(o => s"toks[CAST(i AS INT) + $o]")
+        .mkString(" || ' ' || ")
+      s"""WITH $ClipsCte,
+        |n AS (SELECT clip_id,
+        |             string_split(trim(regexp_replace(lower(transcript), '\\s+', ' ', 'g')), ' ') AS toks
+        |      FROM clips),
+        |offs AS (SELECT clip_id, toks, unnest(range(1, len(toks) - ${n - 2})) AS i
+        |         FROM n WHERE len(toks) >= $n),
+        |grams AS (SELECT DISTINCT clip_id, $gram AS g FROM offs),
+        |gh AS (SELECT clip_id, ${graft.functions.Hashing.md5Hash31Sql("g")} AS h FROM grams),
+        |perms(perm, pa, pb) AS (SELECT * FROM (VALUES $permRows)),
+        |sigs AS (SELECT clip_id, perm, min((pa * h + pb) % ${graft.functions.Hashing.P}) AS minh
+        |         FROM gh, perms GROUP BY clip_id, perm)
+        |SELECT clip_id, CAST(perm AS BIGINT) AS perm, minh FROM sigs
+        |ORDER BY clip_id, perm""".stripMargin
+    })
+
   /** The pipeline's exact-identity star edges, hash-checked by DuckDB. */
   val exactEdges = QueryDef(
     "clip_exact_edges",
@@ -549,6 +599,6 @@ object ClipQueries {
     Some(IncrClosureSql))
 
   val all: Seq[QueryDef] = Seq(clusters, dupPairs, signatures, incremental,
-    search, sigHashes, exactEdges, exactClusters, textPairs, textSearch,
-    textIncremental, textStreaming)
+    search, sigHashes, textSigs, exactEdges, exactClusters, textPairs,
+    textSearch, textIncremental, textStreaming)
 }
