@@ -127,10 +127,19 @@ final class LakeTable(val root: String, val name: String,
     // pinning the shuffle to numBuckets made per-commit driver scheduling
     // O(B) regardless of delta size.
     val bucketed = df.withColumn("_bucket", bucketOf)
-    val parted = numTasks match {
-      case Some(n) => bucketed.repartition(n, col("_bucket"))
-      case None    => bucketed.repartition(col("_bucket"))
-    }
+    // The count is EXPLICIT in both arms: a count-less repartition(cols) is
+    // subject to AQE partition coalescing, which sees only the pre-write
+    // shuffle bytes (tiny for a toy corpus) and folds the exchange to ~1
+    // task — which then creates all B bucket files SERIALLY (measured:
+    // 12.3 s vs 1.1 s for the same 100k-row create at B=4096; the same
+    // pitfall LshCandidates pins for the salt). An explicit count is exempt
+    // from coalescing, so file creation spreads across the session's
+    // parallelism at any B.
+    val spark = df.sparkSession
+    val fullTasks = math.min(numBuckets,
+      spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+        .getOrElse(spark.sparkContext.defaultParallelism))
+    val parted = bucketed.repartition(numTasks.getOrElse(fullTasks), col("_bucket"))
     parted.write.mode("overwrite").partitionBy("_bucket").parquet(out.toString)
     out
   }
