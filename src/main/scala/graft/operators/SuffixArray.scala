@@ -181,6 +181,147 @@ object SuffixArray {
     n
   }
 
+  /** Code-point common prefix of two strings (null-safe), surrogate-pair
+    * aware — the row-local residual kernel of `lcpArrayScaled` (inputs are
+    * <= InitK-char grams, so the walk is bounded). */
+  def commonPrefixCpJvm(a: String, b: String): Long = {
+    if (a == null || b == null) return 0L
+    var ia = 0; var ib = 0; var n = 0L
+    while (ia < a.length && ib < b.length) {
+      val ca = a.codePointAt(ia)
+      if (ca != b.codePointAt(ib)) return n
+      n += 1
+      ia += Character.charCount(ca)
+      ib += Character.charCount(ca)
+    }
+    n
+  }
+
+  /** The all-scale LCP array: same output as `lcpArray` — (_id, _pos,
+    * sa_pos, lcp), lcp vs the PREVIOUS suffix in SA order — but with NO
+    * per-position text haul. The construction RETAINS each prefix-doubling
+    * round's rank table (rank_k for k = InitK, 2·InitK, ..., K_top) and
+    * computes each adjacent pair's LCP by the classic binary-search descent
+    * re-expressed as DataFrame equi-joins:
+    *
+    *   acc := 0; for k = K_top down to InitK:
+    *     rank_k[a + acc] == rank_k[b + acc]  =>  acc += min(k, rem_a - acc)
+    *
+    * (rank_k equality <=> the TRUNCATED-at-k suffixes are equal as strings,
+    * so a match on suffixes shorter than k advances by the full shared
+    * remainder — the `least` clamp; a missing position joins null and reads
+    * as a mismatch.) After the InitK level the residue is < InitK by the
+    * descent invariant, and one join against the round-0 gram relation
+    * resolves it with a row-local walk over two <= InitK-char strings.
+    *
+    * Scale shape: each level is one O(N)-row rank table (localCheckpoint,
+    * memory-and-disk — the classic O(N log L) LCP space trade), and the
+    * descent is 2 equi-joins per level + 2 gram joins over the N-row
+    * adjacent-pair relation: O(log maxlen) bounded shuffles total, never
+    * O(chars × doc length) bytes like `lcpArray`'s text join. This is the
+    * scale path named in round 4 (verdict item 7); `lcpArray` remains for
+    * capped/analytic use and the two are parity-pinned in SuffixArraySpec
+    * and oracled by the same DuckDB SQL (q_suffix_lcp / q_suffix_lcp_scale). */
+  def lcpArrayScaled(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val maxLen = df.agg(max(length(col(textCol)))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    if (maxLen == 0)
+      return spark.emptyDataFrame
+        .withColumn("_id", lit(null)).withColumn("_pos", lit(0L))
+        .withColumn("sa_pos", lit(0L)).withColumn("lcp", lit(0L)).limit(0)
+    val depth = math.max(1, Integer.highestOneBit(maxLen) * 2)
+    val initK = math.min(InitK, Integer.highestOneBit(depth))
+    // round 0: rank whole initK-grams; RETAIN the gram relation for the
+    // residual compare
+    val (init, freeInit) = SparkUtil.checkpointCut(
+      df.filter(length(col(textCol)) >= 1)
+        .select(col(idCol).as("_id"),
+          posexplode(suffixGrams(col(textCol), initK)).as(Seq("_pos", "_g"))))
+    val (r0, n0, freeR0) = rankAttach(init, Seq("_g"), "_rank")
+    val (lvl0, freeLvl0) = SparkUtil.checkpointCut(
+      r0.select(col("_id"), col("_pos"), col("_rank")))
+    freeR0()
+    // doubling rounds, keeping every level (k = truncation depth of _rank)
+    val levels = scala.collection.mutable.ArrayBuffer((initK, lvl0, freeLvl0))
+    var k = initK
+    var distinctKeys = n0
+    lazy val nPos = lvl0.count()
+    while (k < depth && distinctKeys < nPos) {
+      val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+      val paired = levels.last._2.withColumn("_r2",
+        coalesce(lead(col("_rank"), k).over(w), lit(0L)))
+      val (ranked, nKeys, freeRank) =
+        rankAttach(paired, Seq("_rank", "_r2"), "_nrank")
+      val (nextCp, freeNext) = SparkUtil.checkpointCut(
+        ranked.select(col("_id"), col("_pos"), col("_nrank").as("_rank")))
+      freeRank()
+      k *= 2
+      levels += ((k, nextCp, freeNext))
+      distinctKeys = nKeys
+    }
+    // SA order from the deepest level, ties broken by (id, pos) exactly as
+    // suffixArray does
+    val (sa, _, freeSa) = rankAttach(
+      levels.last._2.select(col("_rank"), col("_id"), col("_pos")),
+      Seq("_rank", "_id", "_pos"), "sa_pos")
+    val (saCp, freeSaCp) = SparkUtil.checkpointCut(
+      sa.select(col("_id"), col("_pos"), col("sa_pos")))
+    freeSa()
+    // adjacent pairs: (a = this suffix, b = its SA predecessor), plus the
+    // a-side doc length for the short-suffix clamp
+    val lens = df.filter(length(col(textCol)) >= 1)
+      .select(col(idCol).as("_lid"), length(col(textCol)).cast("long").as("_la"))
+    val prev = saCp.select((col("sa_pos") + 1).as("sa_pos"),
+      col("_id").as("_pid"), col("_pos").as("_ppos"))
+    var (cur, freeCur) = SparkUtil.checkpointCut(
+      saCp.join(prev, Seq("sa_pos"), "left")
+        .join(lens, col("_id") === col("_lid")).drop("_lid")
+        .withColumn("_acc", lit(0L)))
+    // binary-search descent, deepest level first
+    levels.reverseIterator.foreach { case (lk, lvl, _) =>
+      val ra = lvl.select(col("_id").as("_aid"), col("_pos").as("_apos"),
+        col("_rank").as("_ra"))
+      val rb = lvl.select(col("_id").as("_bid"), col("_pos").as("_bpos"),
+        col("_rank").as("_rb"))
+      val stepped = cur
+        .join(ra, col("_id") === col("_aid") &&
+          col("_pos") + col("_acc") === col("_apos"), "left")
+        .join(rb, col("_pid") === col("_bid") &&
+          col("_ppos") + col("_acc") === col("_bpos"), "left")
+        .withColumn("_acc",
+          when(col("_ra").isNotNull && col("_ra") === col("_rb"),
+            col("_acc") + least(lit(lk.toLong),
+              col("_la") - col("_pos") - col("_acc")))
+            .otherwise(col("_acc")))
+        .drop("_aid", "_apos", "_ra", "_bid", "_bpos", "_rb")
+      val (next, freeNext) = SparkUtil.checkpointCut(stepped)
+      freeCur()
+      cur = next; freeCur = freeNext
+    }
+    // residual < initK: one gram join per side + a bounded row-local walk
+    val cpUdf = udf((a: String, b: String) => commonPrefixCpJvm(a, b))
+    val ga = init.select(col("_id").as("_aid"), col("_pos").as("_apos"),
+      col("_g").as("_ga"))
+    val gb = init.select(col("_id").as("_bid"), col("_pos").as("_bpos"),
+      col("_g").as("_gb"))
+    val out = cur
+      .join(ga, col("_id") === col("_aid") &&
+        col("_pos") + col("_acc") === col("_apos"), "left")
+      .join(gb, col("_pid") === col("_bid") &&
+        col("_ppos") + col("_acc") === col("_bpos"), "left")
+      .select(col("_id"), col("_pos"), col("sa_pos"),
+        when(col("_pid").isNull, 0L)
+          .otherwise(col("_acc") + coalesce(cpUdf(col("_ga"), col("_gb")), lit(0L)))
+          .as("lcp"))
+    val (outCp, _) = SparkUtil.checkpointCut(out)
+    freeCur(); freeSaCp(); freeInit()
+    levels.foreach(_._3())
+    outCp
+  }
+
   /** The LCP array companion of `suffixArray`: (_id, _pos, sa_pos, lcp),
     * lcp = longest common prefix with the PREVIOUS suffix in SA order
     * (0 for sa_pos 1). Adjacency is a plain equi-join on sa_pos-1 (dense

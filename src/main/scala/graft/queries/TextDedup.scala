@@ -284,15 +284,8 @@ object TextDedup {
     * must exceed every suffix length at the capped subset; docs are
     * ~300-600 chars). */
   val LcpMaxLen = 1000
-  val suffixLcpQ = QueryDef(
-    "q_suffix_lcp",
-    (spark, dir) =>
-      SuffixArray.lcpArray(
-          normedDocs(spark, dir).filter(col("doc_id") < SaCap), "doc_id", "t")
-        .select(col("_id").as("doc_id"),
-          (col("_pos") + lit(1L)).as("pos"), col("sa_pos"), col("lcp"))
-        .orderBy("doc_id", "pos"),
-    Some(s"""WITH n AS (SELECT doc_id, ${Tables.NormSql} AS t FROM documents
+  private val suffixLcpSql =
+    s"""WITH n AS (SELECT doc_id, ${Tables.NormSql} AS t FROM documents
       |         WHERE doc_id < $SaCap),
       |offs AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i
       |         FROM n WHERE length(t) >= 1),
@@ -308,7 +301,32 @@ object TextDedup {
       |         GROUP BY cur.sa_pos)
       |SELECT cur.doc_id, cur.pos, cur.sa_pos, COALESCE(l.lcp, 0) AS lcp
       |FROM sfx cur LEFT JOIN lcpj l ON l.sp = cur.sa_pos
-      |ORDER BY cur.doc_id, cur.pos""".stripMargin))
+      |ORDER BY cur.doc_id, cur.pos""".stripMargin
+
+  val suffixLcpQ = QueryDef(
+    "q_suffix_lcp",
+    (spark, dir) =>
+      SuffixArray.lcpArray(
+          normedDocs(spark, dir).filter(col("doc_id") < SaCap), "doc_id", "t")
+        .select(col("_id").as("doc_id"),
+          (col("_pos") + lit(1L)).as("pos"), col("sa_pos"), col("lcp"))
+        .orderBy("doc_id", "pos"),
+    Some(suffixLcpSql))
+
+  /** The SAME adjacent-LCP relation via the all-scale backend
+    * (`lcpArrayScaled`: retained rank tables + binary-search descent as
+    * O(log maxlen) equi-joins — no per-position text haul), checked against
+    * the identical DuckDB oracle, so both LCP backends are independently
+    * hash-pinned end-to-end. */
+  val suffixLcpScaleQ = QueryDef(
+    "q_suffix_lcp_scale",
+    (spark, dir) =>
+      SuffixArray.lcpArrayScaled(
+          normedDocs(spark, dir).filter(col("doc_id") < SaCap), "doc_id", "t")
+        .select(col("_id").as("doc_id"),
+          (col("_pos") + lit(1L)).as("pos"), col("sa_pos"), col("lcp"))
+        .orderBy("doc_id", "pos"),
+    Some(suffixLcpSql))
 
   /** EXACT substring-dup pairs via the suffix-array pass (UNCAPPED — this is
     * the scale path): docs sharing a verbatim run >= containmentMinRun.
@@ -380,5 +398,6 @@ object TextDedup {
   val all: Seq[QueryDef] = Seq(
     exactDedup, jaccardDupPairs, wordNgramJaccardPairs, simhashSigs,
     simhashNearPairs, minhashSigs, lshBandPairs, containmentFps,
-    suffixArrayQ, suffixLcpQ, suffixPairs, ccClusters, clusterProfile)
+    suffixArrayQ, suffixLcpQ, suffixLcpScaleQ, suffixPairs, ccClusters,
+    clusterProfile)
 }

@@ -91,6 +91,27 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("lcpArrayScaled == brute force (multi-level descent, clamps, non-BMP)") {
+    // identical docs force the full-remainder clamp at the top level;
+    // a planted 150-char shared run forces LCPs far past InitK (multi-level
+    // descent with a sub-InitK residue); repetitive + non-BMP docs pin the
+    // tie and code-point paths; random docs cover the general case
+    val run = randText(150)
+    val docs = (0L until 8L).map(i => (i, randText(20 + rng.nextInt(120), alpha = 3))) ++
+      Seq((20L, "ab" * 40), (21L, "ab" * 25 + "a"),
+        (22L, "x𝄞y𝄞z"), (23L, "x𝄞y𝄞w"),
+        (24L, randText(30) + run + randText(20)), (25L, run + randText(60)),
+        (26L, "samedoc" * 12), (27L, "samedoc" * 12),
+        (28L, "a"), (29L, ""))
+    val got = SuffixArray.lcpArrayScaled(docs.toDF("doc_id", "t"), "doc_id", "t")
+      .select(col("_id").cast("long"), col("_pos").cast("long"), col("sa_pos"), col("lcp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(r => (r._1, r._2))
+    val want = bruteLcp(docs.filter(_._2.nonEmpty))
+    assert(got.exists(_._4 >= 150)) // the planted run actually exercised descent
+    assert(got == want)
+  }
+
   test("substringPairs: exact — equals brute-force shared-run check, planted runs") {
     val minRun = 70
     val shared1 = randText(minRun) // exactly minRun
