@@ -85,16 +85,25 @@ object LshCandidates {
     require(strides.forall(s => s > 0 && s % 2 == 1),
       s"strides must be odd (coprime to the power-of-two perm count), got $strides")
     val r = rowsPerBand
-    val entries = for {
-      g <- strides.indices
-      j <- 0 until bands
-    } yield {
-      val vals = (0 until r).map { k =>
-        element_at(col("sig"), ((j * r + k) * strides(g)) % numPerms + 1)
-      }
-      struct(lit(g * bands + j).as("band"), xxhash64(array(vals: _*)).as("bandVal"))
-    }
-    sigs.select(col(idCol), explode(array(entries: _*)).as("_bk"))
+    // LOOP-shaped (nested `transform` lambdas), NOT an unrolled literal
+    // array of G*bands struct expressions: the literal form inlined
+    // G*bands*r element_at+xxhash64 calls into the Generate's single
+    // doConsume method, which blew Janino's 64 KB method limit at the
+    // default 3x32x4 config — every pipeline job was silently falling back
+    // to INTERPRETED execution for the banding stage (ERROR CodeGenerator
+    // in the logs). Lambda transforms compile to loops, so the generated
+    // method is O(1) in G/bands/r. Key values are unchanged: pmod == % for
+    // the non-negative perm indices, and xxhash64 over array<bigint> is
+    // structural (element order/values), not expression-shape-dependent.
+    val stridesArr = array(strides.map(s => lit(s)): _*)
+    val keys = flatten(transform(sequence(lit(0), lit(strides.size - 1)), g =>
+      transform(sequence(lit(0), lit(bands - 1)), j =>
+        struct((g * lit(bands) + j).as("band"),
+          xxhash64(transform(sequence(lit(0), lit(r - 1)), k =>
+            element_at(col("sig"),
+              pmod((j * lit(r) + k) * element_at(stridesArr, g + 1),
+                lit(numPerms)) + 1))).as("bandVal")))))
+    sigs.select(col(idCol), explode(keys).as("_bk"))
       .select(col(idCol), col("_bk.band").as("band"), col("_bk.bandVal").as("bandVal"))
   }
 

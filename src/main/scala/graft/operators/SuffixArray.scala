@@ -329,10 +329,10 @@ object SuffixArray {
     * over the two documents' texts, so nothing materializes suffix strings.
     * The text join does haul each document's full text once per position —
     * O(total chars × doc length) shuffle bytes — so this form is for
-    * capped/analytic use like the q_suffix_array oracle; the all-scale
-    * alternative (binary-search LCP over the retained power-of-two rank
-    * tables, O(log maxlen) equi-joins) is not carried because no carried
-    * operator consumes corpus-wide LCP. */
+    * capped/analytic use like the q_suffix_array oracle; `lcpArrayScaled`
+    * above is the all-scale form (binary-search LCP over the retained
+    * power-of-two rank tables, O(log maxlen) equi-joins, no text haul),
+    * parity-pinned against this one in SuffixArraySpec. */
   def lcpArray(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lcpUdf = udf((ta: String, pa: Int, tb: String, pb: Int) => lcpJvm(ta, pa, tb, pb))
     val sa = suffixArray(df, idCol, textCol)
