@@ -267,11 +267,15 @@ object DedupPipeline {
       graft.SparkUtil.checkpointCut(exactPairs
         .unionByName(textPairs).unionByName(containPairs))
     }
-    val (audioScreened, freeAPlausible, freeAudioScreened) =
-      scala.concurrent.Await.result(fAudio, scala.concurrent.duration.Duration.Inf)
-    val (textishPairs, freeTextish) =
-      scala.concurrent.Await.result(fTextish, scala.concurrent.duration.Duration.Inf)
-    pool.shutdown()
+    // shutdown in finally: a branch failure rethrows at Await, and the
+    // pool's non-daemon threads must not outlive it (a driver app would
+    // otherwise hang at JVM exit instead of failing)
+    val ((audioScreened, freeAPlausible, freeAudioScreened),
+         (textishPairs, freeTextish)) =
+      try {
+        (scala.concurrent.Await.result(fAudio, scala.concurrent.duration.Duration.Inf),
+         scala.concurrent.Await.result(fTextish, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     val audioPairs = PairVerifier.pcmConfirm(audioScreened, cachedClips, "clip_id", cfg.pcmCorrMin)
 
     // checkpointCut, not persist: freeing the upstream hub checkpoints below
