@@ -22,6 +22,11 @@ object DevScale {
     val coresB = args(2).toInt
     val parts = if (args.length > 3) args(3).toInt else 2 * math.max(coresA, coresB)
     val aqeOn = if (args.length > 4) args(4) == "on" else true
+    // SPARK_GRAFT_STRIDES="1" vs "1,33,47": A/B the OR'd audio band
+    // groupings' scaling cost at the probe shape (same window, same legs)
+    val strides = sys.env.get("SPARK_GRAFT_STRIDES")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(DedupConfig.default.audioBandGroupStrides)
 
     val stageDir = SparkUtil.localDir + "/dev-scale-corpus"
     val s0 = SparkUtil.session(32, "dev-scale-stage")
@@ -52,7 +57,8 @@ object DevScale {
       stageInfo.clear()
       val t0 = System.nanoTime()
       DedupPipeline.run(spark, clips,
-        DedupConfig.default.copy(collectMetrics = false)).clusters.count()
+        DedupConfig.default.copy(collectMetrics = false,
+          audioBandGroupStrides = strides)).clusters.count()
       val dt = (System.nanoTime() - t0) / 1e9
       import scala.jdk.CollectionConverters._
       val stages = stageInfo.asScala.values.toSeq
