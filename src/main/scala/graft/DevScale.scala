@@ -25,7 +25,12 @@ object DevScale {
     // SPARK_GRAFT_STRIDES="1" vs "1,33,47": A/B the OR'd audio band
     // groupings' scaling cost at the probe shape (same window, same legs)
     val strides = sys.env.get("SPARK_GRAFT_STRIDES")
-      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .map { s =>
+        val toks = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(toks.nonEmpty && toks.forall(_.forall(_.isDigit)),
+          s"SPARK_GRAFT_STRIDES must be a comma list of positive ints, got '$s'")
+        toks.map(_.toInt)
+      }
       .getOrElse(DedupConfig.default.audioBandGroupStrides)
 
     val stageDir = SparkUtil.localDir + "/dev-scale-corpus"

@@ -46,8 +46,13 @@ object Profile {
     if (args.length > 2 && args(2) == "recall") {
       // dup-pair recall/precision vs planted clusters at ANY corpus size —
       // the PipelineSpec check (n=1000) re-run at scale, so quality claims
-      // aren't extrapolated from the toy fixture
-      val res = time("pipeline")(DedupPipeline.run(spark, clips, cfg))
+      // aren't extrapolated from the toy fixture.
+      // SPARK_GRAFT_AUDIO_FLOOR overrides the audio verify threshold so the
+      // recall-vs-floor curve (0.30/0.35/0.40) is measured, not inherited.
+      val rcfg = sys.env.get("SPARK_GRAFT_AUDIO_FLOOR")
+        .map(f => cfg.copy(audioJaccardThreshold = f.toDouble)).getOrElse(cfg)
+      println(s"[profile] audio verify floor = ${rcfg.audioJaccardThreshold}")
+      val res = time("pipeline")(DedupPipeline.run(spark, clips, rcfg))
       val golden = ClipCorpus.goldenLabels(spark, CorpusConfig(seed = 42L, n = n)).toDF()
       val members = golden.filter(col("cluster_id") >= 0)
       val goldenPairs = members.as("x").join(members.as("y"), "cluster_id")
@@ -89,7 +94,7 @@ object Profile {
         .select(jac(col("_xa"), col("_xb")).as("j"))
         .collect().map(_.getDouble(0)).sorted
       if (missJ.nonEmpty) println(
-        f"[profile] missed-pair audio J: min ${missJ.head}%.3f  median ${missJ(missJ.length / 2)}%.3f  max ${missJ.last}%.3f  >=0.35: ${missJ.count(_ >= cfg.audioJaccardThreshold)}")
+        f"[profile] missed-pair audio J: min ${missJ.head}%.3f  median ${missJ(missJ.length / 2)}%.3f  max ${missJ.last}%.3f  >=floor: ${missJ.count(_ >= rcfg.audioJaccardThreshold)}")
       spark.stop()
       return
     }

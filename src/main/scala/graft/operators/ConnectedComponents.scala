@@ -133,8 +133,14 @@ object ConnectedComponents {
     // checkpoint the assignment: it is consumed TWICE (sizes + join), and
     // uncached each reference re-runs the whole components computation —
     // measured as a ~2x serial term on the pipeline's critical path (CC wall
-    // was identical at 1 and 4 cores before this cut)
-    val (assign, _) = graft.SparkUtil.checkpointCut(run(edges, nEdgesHint = nEdgesHint))
+    // was identical at 1 and 4 cores before this cut). LAZY: both consumers
+    // live in the single plan returned here, so the caller's one action
+    // materializes the assignment once (same RDD object under both branches;
+    // the sizes side builds first as the join's broadcast, caching the
+    // blocks the probe side then scans) — an eager cut here would cost an
+    // extra blocking driver action per clusters() call.
+    val (assign, _) = graft.SparkUtil.checkpointCut(
+      run(edges, nEdgesHint = nEdgesHint), eager = false)
     val sizes = assign.groupBy("component").agg(count(lit(1)).as("clusterSize"))
       .filter(col("clusterSize") >= minSize)
     assign.join(sizes, "component")

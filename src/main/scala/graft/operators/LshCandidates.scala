@@ -26,8 +26,17 @@ import org.apache.spark.sql.functions._
  */
 object LshCandidates {
 
+  /** sequence(lit(0), lit(n-1)) with n == 0 yields the DESCENDING array
+    * [0,-1] in Spark — bogus band rows with invalid element_at indices where
+    * the pre-rewrite unrolled form emitted zero entries. Guard every banding
+    * entry point. */
+  private def requireBandShape(bands: Int, rowsPerBand: Int): Unit =
+    require(bands > 0 && rowsPerBand > 0,
+      s"bands and rowsPerBand must be positive, got bands=$bands rowsPerBand=$rowsPerBand")
+
   /** (id, sig) -> (id, band, bandVal) */
   def bandKeys(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    requireBandShape(bands, rowsPerBand)
     val r = rowsPerBand
     val bandVal = (band: Column) =>
       concat_ws(",", transform(slice(col("sig"), band * r + 1, lit(r)), _.cast("string")))
@@ -48,6 +57,7 @@ object LshCandidates {
     * form stays for the ORACLE queries, where DuckDB must rebuild buckets
     * bit-identically. */
   def bandKeysHashed(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    requireBandShape(bands, rowsPerBand)
     val r = rowsPerBand
     sigs.select(
       col(idCol),
@@ -80,6 +90,7 @@ object LshCandidates {
   def bandKeysHashedGrouped(sigs: DataFrame, idCol: String, bands: Int,
                             rowsPerBand: Int, numPerms: Int,
                             strides: Seq[Int]): DataFrame = {
+    requireBandShape(bands, rowsPerBand)
     require(strides.nonEmpty && strides.distinct == strides,
       s"strides must be non-empty and distinct, got $strides")
     require(strides.forall(s => s > 0 && s % 2 == 1),
@@ -142,17 +153,45 @@ object LshCandidates {
    */
   def fusedCandidatePairs(modalities: Seq[(String, DataFrame, Int, Int)],
                           idCol: String, maxBucketSize: Int,
-                          saltChunk: Int = 256): (DataFrame, DataFrame) =
-    fusedCandidatePairsKeys(modalities.map { case (tag, sigs, bands, rows) =>
-      tag -> bandKeysHashed(sigs, idCol, bands, rows)
-    }, idCol, maxBucketSize, saltChunk)
+                          saltChunk: Int = 256): (DataFrame, DataFrame) = {
+    val (pairs, dropped, _) = fusedCandidatePairsCut(
+      modalities.map { case (tag, sigs, bands, rows) =>
+        tag -> bandKeysHashed(sigs, idCol, bands, rows)
+      }, idCol, maxBucketSize, saltChunk)
+    (pairs, dropped)
+  }
 
-  /** As fusedCandidatePairs, from pre-built band-key relations
-    * (id, band, bandVal) per modality — the entry point for callers whose
-    * banding is not the single contiguous grouping (bandKeysHashedGrouped). */
+  /** As fusedCandidatePairsCut, discarding the free thunk (dev/test callers
+    * that purge all persistent RDDs themselves). */
   def fusedCandidatePairsKeys(keyed: Seq[(String, DataFrame)],
                               idCol: String, maxBucketSize: Int,
                               saltChunk: Int = 256): (DataFrame, DataFrame) = {
+    val (pairs, dropped, _) =
+      fusedCandidatePairsCut(keyed, idCol, maxBucketSize, saltChunk)
+    (pairs, dropped)
+  }
+
+  /** As fusedCandidatePairs, from pre-built band-key relations
+    * (id, band, bandVal) per modality — the entry point for callers whose
+    * banding is not the single contiguous grouping (bandKeysHashedGrouped).
+    *
+    * `cacheBuckets` trades a one-pass cache of the bucket gather for cheap
+    * re-reads: ON, the gather is lazily checkpoint-cut so the dropped-bucket
+    * METRICS read scans cached rows instead of re-running the whole banding
+    * shuffle as a separate query — the right trade exactly when the caller
+    * will consume `dropped` (metrics-collecting production runs). OFF (the
+    * default), the plan is the uncached original: a measured floor A/B at
+    * the probe shape showed the cache costs ~1.5-2 s of block write/unroll
+    * per run that a metrics-off run never earns back.
+    *
+    * Returns (pairs, droppedBuckets, free) where `free` releases the cached
+    * bucket-gather blocks once pairs AND dropped have been consumed (no-op
+    * when cacheBuckets is off). */
+  def fusedCandidatePairsCut(keyed: Seq[(String, DataFrame)],
+                             idCol: String, maxBucketSize: Int,
+                             saltChunk: Int = 256,
+                             cacheBuckets: Boolean = false)
+      : (DataFrame, DataFrame, () => Unit) = {
     require(saltChunk > 0, "saltChunk must be positive")
     val keys = keyed.map { case (tag, k) =>
       k.select(col(idCol), lit(tag).as("modality"), col("band"), col("bandVal"))
@@ -166,11 +205,14 @@ object LshCandidates {
     // against) retains at most maxBucketSize+1 ids in the aggregation buffer
     // while its true size is still counted — an over-cap bucket can never
     // OOM an executor on its way to being dropped.
-    val buckets = keys.groupBy("modality", "band", "bandVal")
+    val bucketsPlan = keys.groupBy("modality", "band", "bandVal")
       .agg(graft.functions.CappedCollect.cappedCollect(maxBucketSize)(col(idCol)).as("g"))
       .select(col("modality"), col("band"), col("bandVal"),
         col("g.ids").as("ids"), col("g.n").as("bucketSize"))
       .filter(col("bucketSize") > 1)
+    val (buckets, freeBuckets) =
+      if (cacheBuckets) graft.SparkUtil.checkpointCut(bucketsPlan, eager = false)
+      else (bucketsPlan, () => ())
     val dropped = buckets.filter(col("bucketSize") > maxBucketSize)
     val kept = buckets.filter(col("bucketSize") <= maxBucketSize)
     val direct = kept.filter(col("bucketSize") <= saltChunk)
@@ -222,7 +264,9 @@ object LshCandidates {
         .select("a", "b", "modality")
     }
     val pairs = direct.unionByName(salted).dropDuplicates("a", "b", "modality")
-    (pairs, dropped.select(col("modality"), col("band"), col("bandVal"), col("bucketSize")))
+    (pairs,
+      dropped.select(col("modality"), col("band"), col("bandVal"), col("bucketSize")),
+      freeBuckets)
   }
 
   /**

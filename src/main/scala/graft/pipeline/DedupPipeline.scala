@@ -167,15 +167,26 @@ object DedupPipeline {
     //     so CC transitivity extends each rep-level pair to all copies;
     //     clusters are IDENTICAL to the unfiltered pipeline (PipelineSpec
     //     pins recall/precision on cluster co-membership).
-    val repIds = sigs.groupBy(col("sha"), col("tHashExact"))
-      .agg(min(col("clip_id")).as("clip_id"))
-      .select("clip_id")
+    // LAZY cut: repIds (one groupBy over the hub) feeds the candidate query
+    // (text + audio banding — one broadcast, reused), the containment query
+    // on the OTHER driver thread, and the metrics read; uncut, each of those
+    // queries re-runs the corpus-wide groupBy. First materializer is the
+    // candidate checkpoint below; the later queries scan the cached id rows.
+    val (repIds, freeRepIds) = graft.SparkUtil.checkpointCut(
+      sigs.groupBy(col("sha"), col("tHashExact"))
+        .agg(min(col("clip_id")).as("clip_id"))
+        .select("clip_id"),
+      eager = false)
     val repSigs = sigs.join(repIds, Seq("clip_id"), "left_semi")
 
     // (b) LSH candidates for BOTH modalities in one fused banded self-join
     //     (half the candidate-stage count — stage/driver overhead is the
     //     serial term in the scaling budget)
-    val (cands0, dropped) = LshCandidates.fusedCandidatePairsKeys(Seq(
+    // cacheBuckets tracks collectMetrics: a metrics run reads the dropped-
+    // bucket relation, which uncached re-runs the whole banding shuffle as a
+    // separate query; a bench/probe run (metrics off) never reads it and
+    // skips the cache's measured ~1.5-2 s block-write cost.
+    val (cands0, dropped, freeBuckets) = LshCandidates.fusedCandidatePairsCut(Seq(
       "text" -> LshCandidates.bandKeysHashed(
         repSigs.filter(col("tsig").isNotNull)
           .select(col("clip_id"), col("tsig").as("sig")),
@@ -188,7 +199,8 @@ object DedupPipeline {
           .select(col("clip_id"), col("asig").as("sig")),
         "clip_id", cfg.audioBands, cfg.audioRowsPerBand, cfg.numPerms,
         cfg.audioBandGroupStrides)),
-      "clip_id", cfg.maxBucketSize, cfg.lshSaltChunk)
+      "clip_id", cfg.maxBucketSize, cfg.lshSaltChunk,
+      cacheBuckets = cfg.collectMetrics)
     // checkpointCut (cache + LINEAGE CUT, see SparkUtil): the banded
     // self-join is ~25% of the whole run's task time and BOTH verify
     // branches consume it — uncached, each branch recomputes the
@@ -269,12 +281,18 @@ object DedupPipeline {
     }
     // shutdown in finally: a branch failure rethrows at Await, and the
     // pool's non-daemon threads must not outlive it (a driver app would
-    // otherwise hang at JVM exit instead of failing)
+    // otherwise hang at JVM exit instead of failing). On FAILURE the sibling
+    // branch is torn down promptly (shutdownNow interrupts its thread, which
+    // aborts the blocked Spark action) instead of letting its already-running
+    // jobs run to completion — a hung sibling would otherwise delay failure
+    // propagation indefinitely.
     val ((audioScreened, freeAPlausible, freeAudioScreened),
          (textishPairs, freeTextish)) =
       try {
         (scala.concurrent.Await.result(fAudio, scala.concurrent.duration.Duration.Inf),
          scala.concurrent.Await.result(fTextish, scala.concurrent.duration.Duration.Inf))
+      } catch {
+        case t: Throwable => pool.shutdownNow(); throw t
       } finally pool.shutdown()
     val audioPairs = PairVerifier.pcmConfirm(audioScreened, cachedClips, "clip_id", cfg.pcmCorrMin)
 
@@ -282,13 +300,17 @@ object DedupPipeline {
     // is only safe once NOTHING can recompute through them — a persisted-but
     // -evictable dupPairs cache would re-derive through freed checkpoint
     // blocks (observed: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in clusters.count
-    // after an eviction). The eager checkpoint materializes every branch and
+    // after an eviction). The checkpoint materializes every branch and
     // severs that lineage; it is the blocks the RETURNED result holds.
-    // dropDuplicates runs over the full union exactly as before the
-    // two-thread split: same rows in, same pairs out.
+    // LAZY cut + count(): the count below is the sole, immediate
+    // materializer, so the cut and the cap-decision count cost ONE driver
+    // action instead of two (the count scans the blocks the checkpoint is
+    // writing — no herd risk: nothing else references dupPairs until it
+    // returns). dropDuplicates runs over the full union exactly as before
+    // the two-thread split: same rows in, same pairs out.
     val (dupPairs, _) = graft.SparkUtil.checkpointCut(textishPairs
       .unionByName(audioPairs)
-      .dropDuplicates("a", "b"))
+      .dropDuplicates("a", "b"), eager = false)
     val nPairs = dupPairs.count()
     if (cfg.collectMetrics) {
       // one job for both dropped-bucket counters (never silent, never serial)
@@ -319,6 +341,8 @@ object DedupPipeline {
     freeAudioScreened()
     freeAPlausible()
     freeCands()
+    freeBuckets()
+    freeRepIds()
     freeTextish()
     val nKept = if (cfg.maxPairs > 0) math.min(nPairs, cfg.maxPairs) else nPairs
     val cappedPairs =

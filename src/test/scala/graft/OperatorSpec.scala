@@ -271,6 +271,57 @@ class OperatorSpec extends SparkSpec {
     // grouped banding multiplies key rows by the grouping count
     val g3 = LshCandidates.bandKeysHashedGrouped(sigs, "clip_id", 32, 4, 128, strides)
     assert(g3.count() == 20L * 32 * strides.size)
+    // VALUE parity for strides > 1, not just structural partitioning: the
+    // runtime pmod/element_at loop arithmetic must reproduce hashes built
+    // from the scala-side index formula, unrolled here as literal element_at
+    // calls (one expected relation per stride: 32 unrolled structs stay
+    // under Janino's 64 KB method limit — the loop-shaped production form
+    // exists because 3x32 did not)
+    import org.apache.spark.sql.functions.{array, element_at, lit, struct, xxhash64}
+    val g3rows = g3.collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    strides.zipWithIndex.foreach { case (s, g) =>
+      val expectedBands = (0 until 32).map { j =>
+        val idxs = (0 until 4).map(k => ((j * 4 + k) * s) % 128)
+        struct(lit(g * 32 + j).as("band"),
+          xxhash64(array(idxs.map(i => element_at(col("sig"), i + 1)): _*))
+            .as("bandVal"))
+      }
+      sigs.select(col("clip_id"), explode(array(expectedBands: _*)).as("_bk"))
+        .select(col("clip_id"), col("_bk.band").as("band"), col("_bk.bandVal").as("bandVal"))
+        .collect().foreach { r =>
+          assert(g3rows((r.getString(0), r.getInt(1))) == r.getLong(2),
+            s"stride=$s band=${r.getInt(1)} clip=${r.getString(0)}")
+        }
+    }
+  }
+
+  test("fusedCandidatePairsCut: pair parity with the uncut path, and free() releases the bucket cache") {
+    import graft.operators.LshCandidates
+    val rng = new scala.util.Random(7)
+    val sigs = (0 until 120).map { i =>
+      val base = i / 3
+      val sig = Array.tabulate(8)(p =>
+        if (rng.nextInt(4) == 0) rng.nextLong() else (base * 31 + p).toLong)
+      (f"c$i%03d", sig)
+    }.toDF("clip_id", "sig")
+    val keyed = Seq("m" -> LshCandidates.bandKeysHashed(sigs, "clip_id", 4, 2))
+    val (pairs, dropped, free) =
+      LshCandidates.fusedCandidatePairsCut(keyed, "clip_id", 100,
+        cacheBuckets = true)
+    // reference: the un-fused string-key path (no shared bucket cache)
+    val (refPairs, refDropped) =
+      LshCandidates.candidatePairs(sigs, "clip_id", 4, 2, 100)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pset(pairs).nonEmpty && pset(pairs) == pset(refPairs))
+    assert(dropped.count() == refDropped.count())
+    // the lazy bucket cut materialized during the actions above; free() must
+    // release its persisted blocks (persistentRdds dropped back to baseline)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    free()
+    assert(spark.sparkContext.getPersistentRDDs.size < before,
+      "free() did not release the bucket-gather cache")
   }
 
   test("salted hot-bucket expansion emits exactly the in-place pairs") {
