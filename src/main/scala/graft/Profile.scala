@@ -30,11 +30,13 @@ object Profile {
     time("synth-only-recount")(clips.count())
 
     if (args.length > 2 && args(2) == "explain") {
+      // args(4): optional comma list of query names (default: the r2 audit set)
       val dir = if (args.length > 3) args(3) else "/root/testdata/sf0.01"
+      val names = if (args.length > 4) args(4).split(",").toSeq
+        else Seq("q_topk_per_source", "q_token_stats", "q_cosine_topk",
+          "q_lsh_band_pairs", "q_suffix_pairs")
       val qmap = SparkEntry.queries
-      Seq("q_topk_per_source", "q_token_stats", "q_cosine_topk", "q_lsh_band_pairs",
-          "q_suffix_pairs")
-        .foreach { nm =>
+      names.foreach { nm =>
           println(s"########## $nm")
           println(qmap(nm)(spark, dir).queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
